@@ -1,0 +1,256 @@
+"""3D box geometry and residual box coders (pure jnp, shape-polymorphic).
+
+Box convention used throughout this framework (matches the reference's lidar
+boxes, see /root/reference/mmdet/models/single_stage_heads/ssd_rotate_head.py:15-91):
+
+    box3d  = [x, y, z, w, l, h, yaw]   (lidar frame)
+      x, y, z : box *bottom* center
+      w       : extent along box-local x at yaw = 0
+      l       : extent along box-local y at yaw = 0
+      h       : extent along z
+      yaw     : rotation around +z
+
+All functions are pure jnp and broadcast over leading dims, so they can be
+vmapped/jitted freely and used inside the training step on device.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# angles
+# ---------------------------------------------------------------------------
+
+def limit_period(val, offset: float = 0.5, period: float = np.pi):
+    """Wrap `val` into [-offset*period, (1-offset)*period).
+
+    Mirrors /root/reference/mmdet/ops/iou3d/iou3d_utils.py:5-6.
+    """
+    return val - jnp.floor(val / period + offset) * period
+
+
+# ---------------------------------------------------------------------------
+# residual (SECOND-style) box coder
+# ---------------------------------------------------------------------------
+
+def second_box_encode(boxes, anchors):
+    """Encode target boxes against anchors (residual form).
+
+    Semantics of /root/reference/.../ssd_rotate_head.py:15-51 (z converted from
+    bottom to center, xy normalized by the anchor BEV diagonal, log-dims,
+    plain angle residual).
+
+    Args:
+      boxes:   [..., 7] target boxes  (x, y, z_bottom, w, l, h, yaw)
+      anchors: [..., 7] anchors, same layout.
+    Returns:
+      [..., 7] encodings (xt, yt, zt, wt, lt, ht, rt).
+    """
+    xa, ya, za, wa, la, ha, ra = jnp.split(anchors, 7, axis=-1)
+    xg, yg, zg, wg, lg, hg, rg = jnp.split(boxes, 7, axis=-1)
+    zg = zg + hg * 0.5
+    za = za + ha * 0.5
+    diagonal = jnp.sqrt(la * la + wa * wa)
+    xt = (xg - xa) / diagonal
+    yt = (yg - ya) / diagonal
+    zt = (zg - za) / ha
+    wt = jnp.log(wg / wa)
+    lt = jnp.log(lg / la)
+    ht = jnp.log(hg / ha)
+    rt = rg - ra
+    return jnp.concatenate([xt, yt, zt, wt, lt, ht, rt], axis=-1)
+
+
+def second_box_decode(encodings, anchors):
+    """Inverse of :func:`second_box_encode`.
+
+    Semantics of /root/reference/.../ssd_rotate_head.py:53-91.
+    """
+    xa, ya, za, wa, la, ha, ra = jnp.split(anchors, 7, axis=-1)
+    xt, yt, zt, wt, lt, ht, rt = jnp.split(encodings, 7, axis=-1)
+    za = za + ha * 0.5
+    diagonal = jnp.sqrt(la * la + wa * wa)
+    xg = xt * diagonal + xa
+    yg = yt * diagonal + ya
+    zg = zt * ha + za
+    wg = jnp.exp(wt) * wa
+    lg = jnp.exp(lt) * la
+    hg = jnp.exp(ht) * ha
+    rg = rt + ra
+    zg = zg - hg * 0.5
+    return jnp.concatenate([xg, yg, zg, wg, lg, hg, rg], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# nearest-axis-aligned BEV boxes + IoU ("NearestIouSimilarity")
+# ---------------------------------------------------------------------------
+
+def boxes3d_to_near_bev(boxes3d):
+    """Convert rotated boxes to their nearest axis-aligned BEV boxes.
+
+    A box whose yaw (mod pi) is closer to +-pi/2 has its BEV extents swapped.
+    Mirrors /root/reference/mmdet/ops/iou3d/iou3d_utils.py:8-22.
+
+    Args:
+      boxes3d: [..., 7]
+    Returns:
+      [..., 4] (xmin, ymin, xmax, ymax)
+    """
+    x, y = boxes3d[..., 0], boxes3d[..., 1]
+    w, l = boxes3d[..., 3], boxes3d[..., 4]
+    rots = jnp.abs(limit_period(boxes3d[..., 6], 0.5, np.pi))
+    cond = rots > (np.pi / 4)
+    dx = jnp.where(cond, l, w)
+    dy = jnp.where(cond, w, l)
+    return jnp.stack(
+        [x - dx * 0.5, y - dy * 0.5, x + dx * 0.5, y + dy * 0.5], axis=-1)
+
+
+def iou_aligned(boxes1, boxes2, eps: float = 0.0):
+    """Pairwise axis-aligned 2D IoU.
+
+    boxes: [N, 4] / [M, 4] (xmin, ymin, xmax, ymax) -> [N, M].
+    Mirrors /root/reference/mmdet/ops/iou3d/iou3d_utils.py:24-45 (mode='iou').
+    """
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt + eps, a_min=0.0)
+    overlap = wh[..., 0] * wh[..., 1]
+    area1 = (boxes1[:, 2] - boxes1[:, 0] + eps) * (boxes1[:, 3] - boxes1[:, 1] + eps)
+    area2 = (boxes2[:, 2] - boxes2[:, 0] + eps) * (boxes2[:, 3] - boxes2[:, 1] + eps)
+    union = area1[:, None] + area2[None, :] - overlap
+    return overlap / jnp.where(union > 0, union, 1.0)
+
+
+def nearest_iou_similarity(boxes1, boxes2):
+    """Pairwise IoU of nearest axis-aligned BEV boxes ([N,7],[M,7] -> [N,M])."""
+    return iou_aligned(boxes3d_to_near_bev(boxes1), boxes3d_to_near_bev(boxes2))
+
+
+# ---------------------------------------------------------------------------
+# corners
+# ---------------------------------------------------------------------------
+
+def corners_bev(boxes):
+    """BEV corners of rotated boxes.
+
+    Args:
+      boxes: [..., 5] (x, y, w, l, yaw)   (w = local-x extent, l = local-y)
+    Returns:
+      [..., 4, 2] corners, counter-clockwise order for yaw = 0.
+    """
+    x, y, w, l, r = (boxes[..., i] for i in range(5))
+    # local corner offsets, CCW: (+,+), (-,+), (-,-), (+,-)
+    sx = jnp.stack([w, -w, -w, w], axis=-1) * 0.5
+    sy = jnp.stack([l, l, -l, -l], axis=-1) * 0.5
+    c, s = jnp.cos(r)[..., None], jnp.sin(r)[..., None]
+    cx = sx * c - sy * s + x[..., None]
+    cy = sx * s + sy * c + y[..., None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def corners_3d(boxes3d):
+    """Eight 3D corners of [..., 7] boxes (z = bottom). Returns [..., 8, 3].
+
+    Corner order: bottom face CCW then top face CCW (matching
+    :func:`corners_bev` order within each face).
+    """
+    bev = corners_bev(boxes3d[..., [0, 1, 3, 4, 6]])          # [..., 4, 2]
+    z0 = boxes3d[..., 2:3]
+    z1 = boxes3d[..., 2:3] + boxes3d[..., 5:6]
+    zb = jnp.broadcast_to(z0[..., None], bev.shape[:-1] + (1,))
+    zt = jnp.broadcast_to(z1[..., None], bev.shape[:-1] + (1,))
+    bottom = jnp.concatenate([bev, zb], axis=-1)
+    top = jnp.concatenate([bev, zt], axis=-1)
+    return jnp.concatenate([bottom, top], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# points in rotated boxes
+# ---------------------------------------------------------------------------
+
+def points_in_rbbox_bev(points_xy, boxes):
+    """[N,2] points vs [M,5] (x,y,w,l,yaw) rotated BEV boxes -> bool [N,M]."""
+    d = points_xy[:, None, :] - boxes[None, :, :2]            # [N, M, 2]
+    c, s = jnp.cos(boxes[:, 4]), jnp.sin(boxes[:, 4])
+    lx = d[..., 0] * c + d[..., 1] * s                        # rotate by -yaw
+    ly = -d[..., 0] * s + d[..., 1] * c
+    return (jnp.abs(lx) <= boxes[None, :, 2] * 0.5) & (
+        jnp.abs(ly) <= boxes[None, :, 3] * 0.5)
+
+
+def points_in_boxes3d(points, boxes3d):
+    """Point-in-rotated-3D-box flags plus center offsets.
+
+    Semantics of /root/reference/mmdet/ops/points_op/src/points_op.cpp:92-144
+    (the aux-branch target builder), with two deliberate fixes:
+      * the z component of the offset targets the true box center
+        (bottom + h/2); the reference uses bottom + w/2 (points_op.cpp:139),
+        an apparent bug that is benign for cars (w ~= h) but wrong in general.
+      * when a point lies in several boxes the *first* box wins (the reference
+        C++ loop lets the last box win; overlapping GTs are degenerate anyway).
+
+    Args:
+      points:  [N, 3] xyz
+      boxes3d: [M, 7]
+    Returns:
+      (flags [N, M] bool, label [N] bool, offsets [N, 3] float)
+    """
+    d = points[:, None, :2] - boxes3d[None, :, :2]
+    r = boxes3d[:, 6]
+    c, s = jnp.cos(r), jnp.sin(r)
+    # reference rotation (points_op.cpp:100-101): x' = dx*c - dy*s ; y' = dx*s + dy*c
+    lx = d[..., 0] * c - d[..., 1] * s
+    ly = d[..., 0] * s + d[..., 1] * c
+    cz = boxes3d[:, 2] + boxes3d[:, 5] * 0.5
+    in_z = jnp.abs(points[:, 2:3] - cz[None, :]) <= boxes3d[None, :, 5] * 0.5
+    flags = (
+        (jnp.abs(lx) <= boxes3d[None, :, 3] * 0.5)
+        & (jnp.abs(ly) <= boxes3d[None, :, 4] * 0.5)
+        & in_z
+    )
+    label = jnp.any(flags, axis=1)
+    first = jnp.argmax(flags, axis=1)                         # first True (or 0)
+    centers = boxes3d[:, :3].at[:, 2].add(boxes3d[:, 5] * 0.5)
+    offsets = jnp.where(label[:, None], points - centers[first], 0.0)
+    return flags, label, offsets
+
+
+# ---------------------------------------------------------------------------
+# camera <-> lidar (KITTI rect camera frame); numpy-friendly
+# ---------------------------------------------------------------------------
+
+def box_camera_to_lidar(boxes_cam, r_rect, velo2cam):
+    """Convert KITTI camera-frame boxes to lidar-frame boxes.
+
+    Camera boxes: [N, 7] (x, y, z, l, h, w, ry) with xyz = bottom center in
+    rect-camera coords. Matches the semantics of
+    /root/reference/mmdet/core/bbox3d/geometry.py:36-48.
+
+    Returns lidar boxes [N, 7] (x, y, z_bottom, w, l, h, yaw).
+    """
+    xp = jnp if isinstance(boxes_cam, jnp.ndarray) else np
+    xyz = camera_to_lidar_points(boxes_cam[:, :3], r_rect, velo2cam)
+    l, h, w = boxes_cam[:, 3:4], boxes_cam[:, 4:5], boxes_cam[:, 5:6]
+    r = boxes_cam[:, 6:7]
+    return xp.concatenate([xyz, w, l, h, -r - np.pi / 2], axis=1)
+
+
+def camera_to_lidar_points(points, r_rect, velo2cam):
+    """[N,3] rect-camera points -> lidar points (geometry.py:36-41)."""
+    xp = jnp if isinstance(points, jnp.ndarray) else np
+    n = points.shape[0]
+    pts = xp.concatenate([points, xp.ones((n, 1), dtype=points.dtype)], axis=1)
+    inv = xp.linalg.inv((r_rect @ velo2cam).astype(np.float64)).astype(points.dtype)
+    return (pts @ inv.T)[:, :3]
+
+
+def lidar_to_camera_points(points, r_rect, velo2cam):
+    """[N,3] lidar points -> rect-camera points."""
+    xp = jnp if isinstance(points, jnp.ndarray) else np
+    n = points.shape[0]
+    pts = xp.concatenate([points, xp.ones((n, 1), dtype=points.dtype)], axis=1)
+    mat = (r_rect @ velo2cam).astype(points.dtype)
+    return (pts @ mat.T)[:, :3]

@@ -1,0 +1,238 @@
+"""TPU-native sparse 3D convolution engine.
+
+Replaces the external `spconv` v1.0 dependency of the reference (the entire
+SpMiddleFHD backbone, /root/reference/mmdet/models/necks/cmn.py:1,109-173)
+with a sorted-key gather-GEMM design built for XLA/TPU:
+
+  * Active voxels live in per-sample fixed-capacity arrays: `keys [M]` int32
+    linearized zyx coordinates, ascending, padded with INT32_MAX; `feats
+    [M, C]`. Static shapes everywhere — jit compiles once per config.
+  * Neighbor resolution is binary search over the sorted keys
+    (`jnp.searchsorted`), not hash tables — sort + search is the TPU idiom
+    (no atomics/mutexes; deterministic).
+  * A convolution is: gather the K=27 neighbor features into an im2col matrix
+    [M, K*Cin] and hit the MXU with one [M, K*Cin] x [K*Cin, Cout] matmul.
+    Missing neighbors contribute zeros. K*Cin is 432..1728 — a deep,
+    MXU-friendly contraction.
+  * Like spconv's `indice_key` reuse (cmn.py:140-173), neighbor gather plans
+    are built once per resolution level (`build_subm_plan`) and shared by all
+    submanifold convs at that level.
+  * Downsampling (stride-2, kernel-3, pad-1 SparseConv3d) computes the output
+    active set with a sort-unique over the <=8 candidate parents of each input
+    voxel, entirely on device (`downsample_keys`).
+
+Kernel offset order is (dz, dy, dx) row-major over {-1, 0, 1}, matching the
+weight layout [K, Cin, Cout] used by the models.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_KEY = np.int32(np.iinfo(np.int32).max)
+
+
+# ---------------------------------------------------------------------------
+# keys
+# ---------------------------------------------------------------------------
+
+def coords_to_keys(coords_zyx: jnp.ndarray, shape_zyx: Tuple[int, int, int]):
+    """[M, 3] zyx int coords (-1 rows = padding) -> [M] linear keys."""
+    d, h, w = shape_zyx
+    z, y, x = coords_zyx[:, 0], coords_zyx[:, 1], coords_zyx[:, 2]
+    keys = (z * h + y) * w + x
+    return jnp.where(z >= 0, keys, INVALID_KEY).astype(jnp.int32)
+
+
+def keys_to_coords(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int]):
+    """[M] keys -> [M, 3] zyx coords (INVALID -> -1)."""
+    d, h, w = shape_zyx
+    x = keys % w
+    y = (keys // w) % h
+    z = keys // (w * h)
+    coords = jnp.stack([z, y, x], axis=-1)
+    return jnp.where((keys != INVALID_KEY)[:, None], coords, -1)
+
+
+def sort_by_key(keys: jnp.ndarray, feats: jnp.ndarray):
+    """Sort (keys, feats) ascending by key; INVALID keys sink to the end."""
+    perm = jnp.argsort(keys)
+    return keys[perm], feats[perm]
+
+
+def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+    """Binary-search queries in sorted keys.
+
+    Returns (idx, found): idx clipped to [0, M-1]; found marks exact hits.
+    """
+    m = sorted_keys.shape[0]
+    pos = jnp.searchsorted(sorted_keys, queries)
+    pos_c = jnp.clip(pos, 0, m - 1)
+    found = (sorted_keys[pos_c] == queries) & (queries != INVALID_KEY)
+    return pos_c, found
+
+
+def valid_mask(keys: jnp.ndarray) -> jnp.ndarray:
+    return keys != INVALID_KEY
+
+
+# ---------------------------------------------------------------------------
+# submanifold conv plan (indice_key analog)
+# ---------------------------------------------------------------------------
+
+class SubmPlan(NamedTuple):
+    """Cached neighbor gather plan for one resolution level."""
+    idx: jnp.ndarray    # [K, M] gather rows into the level's feature array
+    found: jnp.ndarray  # [K, M] neighbor-exists flags
+
+
+def _offsets(kernel: int = 3) -> np.ndarray:
+    r = np.arange(kernel) - kernel // 2
+    off = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    return off  # [K, 3] (dz, dy, dx), row-major
+
+
+def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
+                    kernel: int = 3) -> SubmPlan:
+    """Neighbor indices for a submanifold conv at this level (built once,
+    reused by every subm conv with the same level — spconv indice_key)."""
+    d, h, w = shape_zyx
+    coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
+    off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
+    nb = coords[None, :, :] + off[:, None, :]                 # [K, M, 3]
+    inb = jnp.all((nb >= 0) & (nb < jnp.asarray([d, h, w], jnp.int32)), axis=-1)
+    inb = inb & (coords[None, :, 0] >= 0)
+    q = (nb[..., 0] * h + nb[..., 1]) * w + nb[..., 2]
+    q = jnp.where(inb, q, INVALID_KEY).astype(jnp.int32)
+    idx, found = lookup(keys, q.reshape(-1))
+    k = off.shape[0]
+    return SubmPlan(idx.reshape(k, -1), found.reshape(k, -1))
+
+
+def gather_im2col(feats: jnp.ndarray, plan: SubmPlan,
+                  dtype=None) -> jnp.ndarray:
+    """[M, C] features + plan -> [M, K*C] im2col matrix (missing -> 0)."""
+    k, m = plan.idx.shape
+    g = feats[plan.idx.reshape(-1)].reshape(k, m, -1)
+    g = jnp.where(plan.found[..., None], g, 0)
+    out = jnp.transpose(g, (1, 0, 2)).reshape(m, -1)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, plan: SubmPlan,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Submanifold sparse conv: im2col gather + one MXU matmul.
+
+    weight: [K, Cin, Cout].
+    """
+    k, cin, cout = weight.shape
+    col = gather_im2col(feats, plan, dtype=compute_dtype)
+    w2 = weight.reshape(k * cin, cout).astype(compute_dtype)
+    out = jnp.dot(col, w2, preferred_element_type=jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# strided sparse conv (downsample)
+# ---------------------------------------------------------------------------
+
+def _unique_sorted(cands: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Sort + dedup candidate keys into a [cap] INVALID-padded sorted array."""
+    s = jnp.sort(cands)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    first = first & (s != INVALID_KEY)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    out = jnp.full((cap,), INVALID_KEY, jnp.int32)
+    out = out.at[jnp.where(first, rank, cap)].set(s, mode="drop")
+    return out
+
+
+def out_shape_stride2(shape_zyx: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    """spconv output dims for kernel 3 / stride 2 / pad 1: floor((D-1)/2)+1."""
+    return tuple((s - 1) // 2 + 1 for s in shape_zyx)
+
+
+def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
+                    out_cap: int) -> jnp.ndarray:
+    """Active output set of a stride-2 k3 p1 sparse conv.
+
+    Each input voxel coordinate i contributes to outputs o with
+    2o-1 <= i <= 2o+1, i.e. o in {i//2, (i+1)//2} per dim (<= 8 parents).
+    The output set is the union, computed as sort+unique with a static cap.
+    """
+    od, oh, ow = out_shape_stride2(shape_zyx)
+    coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
+    c0 = coords // 2
+    c1 = (coords + 1) // 2
+    cands = []
+    for sz in range(2):
+        for sy in range(2):
+            for sx in range(2):
+                z = jnp.where(sz == 0, c0[:, 0], c1[:, 0])
+                y = jnp.where(sy == 0, c0[:, 1], c1[:, 1])
+                x = jnp.where(sx == 0, c0[:, 2], c1[:, 2])
+                ok = ((coords[:, 0] >= 0) & (z < od) & (y < oh) & (x < ow))
+                kk = (z * oh + y) * ow + x
+                cands.append(jnp.where(ok, kk, INVALID_KEY).astype(jnp.int32))
+    return _unique_sorted(jnp.concatenate(cands), out_cap)
+
+
+def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
+                      in_shape: Tuple[int, int, int],
+                      kernel: int = 3) -> SubmPlan:
+    """Gather plan mapping each output voxel's 27 taps to input rows.
+
+    For output o and kernel tap k (0..2 per dim), the input coordinate is
+    i = 2*o + k - 1 (stride 2, pad 1).
+    """
+    d, h, w = in_shape
+    out_sh = out_shape_stride2(in_shape)
+    ocoords = keys_to_coords(out_keys, out_sh)                # [Mo, 3]
+    off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
+    icoords = 2 * ocoords[None, :, :] + off[:, None, :]       # [K, Mo, 3]
+    inb = jnp.all((icoords >= 0) & (icoords < jnp.asarray([d, h, w], jnp.int32)),
+                  axis=-1)
+    inb = inb & (ocoords[None, :, 0] >= 0)
+    q = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
+    q = jnp.where(inb, q, INVALID_KEY).astype(jnp.int32)
+    idx, found = lookup(in_keys, q.reshape(-1))
+    k = off.shape[0]
+    return SubmPlan(idx.reshape(k, -1), found.reshape(k, -1))
+
+
+def stride_conv(in_keys: jnp.ndarray, feats: jnp.ndarray, weight: jnp.ndarray,
+                in_shape: Tuple[int, int, int], out_cap: int,
+                compute_dtype=jnp.float32):
+    """Stride-2 sparse conv: new active set + gather-GEMM.
+
+    Returns (out_keys [out_cap], out_feats [out_cap, Cout], out_shape).
+    """
+    out_keys = downsample_keys(in_keys, in_shape, out_cap)
+    plan = build_stride_plan(in_keys, out_keys, in_shape)
+    out = subm_conv(feats, weight, plan, compute_dtype)
+    out = jnp.where(valid_mask(out_keys)[:, None], out, 0.0)
+    return out_keys, out, out_shape_stride2(in_shape)
+
+
+def conv1x1(feats: jnp.ndarray, weight: jnp.ndarray,
+            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """1x1x1 sparse conv == plain matmul over active voxels. weight [Cin, Cout]."""
+    return jnp.dot(feats.astype(compute_dtype), weight.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# densification
+# ---------------------------------------------------------------------------
+
+def to_dense(keys: jnp.ndarray, feats: jnp.ndarray,
+             shape_zyx: Tuple[int, int, int]) -> jnp.ndarray:
+    """Scatter active voxels into a dense [D, H, W, C] canvas (spconv .dense())."""
+    d, h, w = shape_zyx
+    coords = keys_to_coords(keys, shape_zyx)
+    z = jnp.where(coords[:, 0] >= 0, coords[:, 0], d)         # drop padding
+    canvas = jnp.zeros((d, h, w, feats.shape[-1]), feats.dtype)
+    return canvas.at[z, coords[:, 1], coords[:, 2]].set(feats, mode="drop")
