@@ -1,0 +1,163 @@
+"""Configuration system.
+
+Typed dataclasses (instead of the reference's free-form mmcv dicts,
+/root/reference/configs/car_cfg.py) — every static shape cap that the jitted
+pipeline needs is explicit and documented here. Python config files under
+`configs/` build a :class:`SASSDConfig`; `load_config` executes such a file
+and returns the object (the analog of mmcv.Config.fromfile, tools/train.py:48).
+"""
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import sys
+from typing import Dict, Optional, Tuple
+
+from sassd_tpu.ops.voxelize import VoxelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Per-class anchor grid (anchor3d_generator.py semantics)."""
+    sizes: Tuple[float, float, float] = (1.6, 3.9, 1.56)
+    strides: Tuple[float, float, float] = (0.4, 0.4, 1.0)
+    offsets: Tuple[float, float, float] = (0.2, -39.8, -1.78)
+    rotations: Tuple[float, ...] = (0.0, 1.57)
+    # assigner thresholds (train_cfg.rpn.assigner in car_cfg.py:38-58)
+    matched_threshold: float = 0.6
+    unmatched_threshold: float = 0.45
+
+
+@dataclasses.dataclass(frozen=True)
+class Caps:
+    """Static shape capacities for the jitted pipeline.
+
+    The reference uses dynamic shapes everywhere; under XLA every
+    data-dependent count becomes a fixed capacity + validity mask. Overflow
+    beyond a cap is dropped (sorted spatially, not by importance) — caps
+    below are sized with ample headroom over KITTI statistics.
+    """
+    max_points_per_scan: int = 65536   # raw points fed to device voxelizer
+    max_gt: int = 64                   # GT boxes per sample
+    level_caps: Tuple[int, int, int, int] = (20000, 18432, 14336, 10240)
+    guided_train: int = 640            # guided anchors per sample at train
+    guided_test: int = 512             # guided anchors per sample at test
+    max_det: int = 100                 # final detections (test_cfg max_per_img)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    num_class: int = 1
+    num_input_features: int = 4
+    bev_channels: int = 256
+    num_anchor_per_loc: int = 2        # rotations per class
+    box_code_size: int = 7
+    use_direction_classifier: bool = True
+    encode_rad_error_by_sin: bool = True
+    # PSWarpHead (car_cfg.py:26-33)
+    grid_offsets: Tuple[float, float] = (0.0, 40.0)
+    featmap_stride: float = 0.4
+    num_parts: int = 28                # 4 x 7 sampling window
+    window_size: Tuple[int, int] = (4, 7)
+    compute_dtype: str = "float32"     # "bfloat16" for max MXU throughput
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 2
+    total_epochs: int = 80
+    lr: float = 0.003
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 10.0
+    # one-cycle schedule (car_cfg.py:203-208)
+    moms: Tuple[float, float] = (0.95, 0.85)
+    div_factor: float = 10.0
+    pct_start: float = 0.4
+    # rpn thresholds
+    anchor_thr: float = 0.1            # guided-anchor score threshold (train)
+    # extra (PSWarp) assigner (car_cfg.py:60-68)
+    extra_pos_iou: float = 0.7
+    extra_neg_iou: float = 0.7
+    extra_similarity: str = "RotateIou3dSimilarity"
+    rpn_similarity: str = "NearestIouSimilarity"
+    checkpoint_interval: int = 2       # epochs
+    max_ckpt_keep: int = 10
+    log_interval: int = 20
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig:
+    score_thr: float = 0.3
+    nms_iou_thr: float = 0.1
+    max_per_img: int = 100
+    anchor_thr: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    root: str = ""
+    info_path: str = ""
+    class_names: Tuple[str, ...] = ("Car",)
+    anchor_area_threshold: float = 1.0
+    out_size_factor: int = 8
+    # augmentation (car_cfg.py:103-115)
+    gt_sampling: bool = True
+    db_info_path: str = ""
+    sample_classes: Tuple[str, ...] = ("Car",)
+    sample_max_num: Tuple[int, ...] = (15,)
+    min_num_points: Tuple[int, ...] = (5,)
+    removed_difficulties: Tuple[int, ...] = (-1,)
+    global_rot_range: Tuple[float, float] = (-0.78539816, 0.78539816)
+    gt_rot_range: Tuple[float, float] = (-0.78539816, 0.78539816)
+    center_noise_std: Tuple[float, float, float] = (1.0, 1.0, 0.5)
+    scale_range: Tuple[float, float] = (0.95, 1.05)
+    flip_ratio: float = 0.5
+    num_workers: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SASSDConfig:
+    model: ModelConfig = ModelConfig()
+    voxel: VoxelConfig = VoxelConfig()
+    caps: Caps = Caps()
+    anchors: Dict[str, AnchorConfig] = dataclasses.field(
+        default_factory=lambda: {"Car": AnchorConfig()})
+    train: TrainConfig = TrainConfig()
+    test: TestConfig = TestConfig()
+    data: DataConfig = DataConfig()
+    work_dir: str = "./work_dir"
+    resume_from: Optional[str] = None
+    load_from: Optional[str] = None
+
+    @property
+    def class_names(self) -> Tuple[str, ...]:
+        return tuple(self.anchors.keys())
+
+    @property
+    def sparse_shape(self) -> Tuple[int, int, int]:
+        return self.voxel.sparse_shape
+
+    @property
+    def bev_map_size(self) -> Tuple[int, int]:
+        """(H, W) of the BEV feature map (grid // out_size_factor)."""
+        d, h, w = self.voxel.sparse_shape
+        f = self.data.out_size_factor
+        return h // f, w // f
+
+    @property
+    def num_anchors(self) -> int:
+        h, w = self.bev_map_size
+        return len(self.anchors) * h * w * self.model.num_anchor_per_loc
+
+
+def load_config(path: str) -> SASSDConfig:
+    """Execute a python config file that defines `config: SASSDConfig`."""
+    spec = importlib.util.spec_from_file_location("_sassd_user_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_sassd_user_config"] = mod
+    spec.loader.exec_module(mod)
+    cfg = getattr(mod, "config")
+    if not isinstance(cfg, SASSDConfig):
+        raise TypeError(f"{path} must define `config: SASSDConfig`")
+    return cfg

@@ -136,18 +136,22 @@ def nearest_iou_similarity(boxes1, boxes2):
 def corners_bev(boxes):
     """BEV corners of rotated boxes.
 
+    Rotation is CLOCKWISE for positive yaw — the KITTI-lidar convention used
+    throughout the reference (geometry.py:325-337 `rotation_2d`,
+    points_op.cpp:100-101), where yaw = -camera_ry - pi/2.
+
     Args:
       boxes: [..., 5] (x, y, w, l, yaw)   (w = local-x extent, l = local-y)
     Returns:
-      [..., 4, 2] corners, counter-clockwise order for yaw = 0.
+      [..., 4, 2] corners, counter-clockwise winding for yaw = 0.
     """
     x, y, w, l, r = (boxes[..., i] for i in range(5))
-    # local corner offsets, CCW: (+,+), (-,+), (-,-), (+,-)
+    # local corner offsets, CCW winding: (+,+), (-,+), (-,-), (+,-)
     sx = jnp.stack([w, -w, -w, w], axis=-1) * 0.5
     sy = jnp.stack([l, l, -l, -l], axis=-1) * 0.5
     c, s = jnp.cos(r)[..., None], jnp.sin(r)[..., None]
-    cx = sx * c - sy * s + x[..., None]
-    cy = sx * s + sy * c + y[..., None]
+    cx = sx * c + sy * s + x[..., None]
+    cy = -sx * s + sy * c + y[..., None]
     return jnp.stack([cx, cy], axis=-1)
 
 
@@ -172,11 +176,15 @@ def corners_3d(boxes3d):
 # ---------------------------------------------------------------------------
 
 def points_in_rbbox_bev(points_xy, boxes):
-    """[N,2] points vs [M,5] (x,y,w,l,yaw) rotated BEV boxes -> bool [N,M]."""
+    """[N,2] points vs [M,5] (x,y,w,l,yaw) rotated BEV boxes -> bool [N,M].
+
+    Clockwise yaw convention: box frame = R(yaw) applied to the offset
+    (points_op.cpp:100-101).
+    """
     d = points_xy[:, None, :] - boxes[None, :, :2]            # [N, M, 2]
     c, s = jnp.cos(boxes[:, 4]), jnp.sin(boxes[:, 4])
-    lx = d[..., 0] * c + d[..., 1] * s                        # rotate by -yaw
-    ly = -d[..., 0] * s + d[..., 1] * c
+    lx = d[..., 0] * c - d[..., 1] * s
+    ly = d[..., 0] * s + d[..., 1] * c
     return (jnp.abs(lx) <= boxes[None, :, 2] * 0.5) & (
         jnp.abs(ly) <= boxes[None, :, 3] * 0.5)
 
@@ -225,17 +233,18 @@ def points_in_boxes3d(points, boxes3d):
 def box_camera_to_lidar(boxes_cam, r_rect, velo2cam):
     """Convert KITTI camera-frame boxes to lidar-frame boxes.
 
-    Camera boxes: [N, 7] (x, y, z, l, h, w, ry) with xyz = bottom center in
-    rect-camera coords. Matches the semantics of
-    /root/reference/mmdet/core/bbox3d/geometry.py:36-48.
+    Camera boxes: [N, 7] (x, y, z, w, l, h, ry) with xyz = bottom center in
+    rect-camera coords and dims ordered (w, l, h) as in Object3d.box3d
+    (/root/reference/mmdet/datasets/kitti_utils.py:35-36). Matching the
+    reference (kitti.py:153-154), ONLY the center is transformed; dims and
+    yaw carry over unchanged — with the clockwise yaw convention,
+    yaw_lidar == camera ry is the physically consistent mapping.
 
     Returns lidar boxes [N, 7] (x, y, z_bottom, w, l, h, yaw).
     """
     xp = jnp if isinstance(boxes_cam, jnp.ndarray) else np
     xyz = camera_to_lidar_points(boxes_cam[:, :3], r_rect, velo2cam)
-    l, h, w = boxes_cam[:, 3:4], boxes_cam[:, 4:5], boxes_cam[:, 5:6]
-    r = boxes_cam[:, 6:7]
-    return xp.concatenate([xyz, w, l, h, -r - np.pi / 2], axis=1)
+    return xp.concatenate([xyz, boxes_cam[:, 3:]], axis=1)
 
 
 def camera_to_lidar_points(points, r_rect, velo2cam):

@@ -73,13 +73,17 @@ def _make_impl(xp, is_jax: bool):
         return buf[:, :_MAXV], xp.sum(cnt, axis=1)
 
     def corners(boxes):
-        """[P, 5] center-format boxes -> [P, 4, 2] CCW corners."""
+        """[P, 5] center boxes -> [P, 4, 2] CCW-wound corners.
+
+        Clockwise-positive yaw (the KITTI-lidar / SECOND convention used by
+        the reference's rotated-geometry stacks, rotate_nms_gpu.py:341-382).
+        """
         x, y, w, l, r = (boxes[:, i] for i in range(5))
         sx = xp.stack([w, -w, -w, w], axis=-1) * 0.5
         sy = xp.stack([l, l, -l, -l], axis=-1) * 0.5
         c, s = xp.cos(r)[:, None], xp.sin(r)[:, None]
-        cx = sx * c - sy * s + x[:, None]
-        cy = sx * s + sy * c + y[:, None]
+        cx = sx * c + sy * s + x[:, None]
+        cy = -sx * s + sy * c + y[:, None]
         return xp.stack([cx, cy], axis=-1)
 
     def pair_intersection_area(boxes_a, boxes_b):

@@ -1,0 +1,341 @@
+"""Point-cloud augmentation (host-side numpy).
+
+Replaces the numba-JIT augmentation stack of the reference
+(/root/reference/mmdet/core/point_cloud/point_augmentor.py and the geometry
+kernels it uses from core/bbox3d/geometry.py) with vectorized numpy:
+
+  * GT-database sampling with BEV collision rejection (`PointAugmentor.sample_all`)
+  * per-object pose jitter with collision-checked retry (`noise_per_object`)
+  * global flip / rotation / scaling
+
+All rotations use the clockwise-positive yaw convention of the reference
+(geometry.py:325-337).
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# numpy geometry (clockwise yaw)
+# ---------------------------------------------------------------------------
+
+def rotate_points_z(points: np.ndarray, angle: float) -> np.ndarray:
+    """Rotate [N, >=2] xy(z...) points clockwise by `angle` around +z
+    (rotation_points_single_angle, point_augmentor.py:24-43 semantics)."""
+    c, s = np.cos(angle), np.sin(angle)
+    out = points.copy()
+    out[:, 0] = points[:, 0] * c + points[:, 1] * s
+    out[:, 1] = -points[:, 0] * s + points[:, 1] * c
+    return out
+
+
+def corners_2d(centers: np.ndarray, dims: np.ndarray,
+               angles: Optional[np.ndarray] = None) -> np.ndarray:
+    """[N,2] centers + [N,2] dims (+ yaw) -> [N, 4, 2] corners (clockwise yaw)."""
+    n = centers.shape[0]
+    sx = np.array([0.5, -0.5, -0.5, 0.5])[None, :] * dims[:, 0:1]
+    sy = np.array([0.5, 0.5, -0.5, -0.5])[None, :] * dims[:, 1:2]
+    if angles is not None:
+        c, s = np.cos(angles)[:, None], np.sin(angles)[:, None]
+        x = sx * c + sy * s
+        y = -sx * s + sy * c
+    else:
+        x, y = sx, sy
+    return np.stack([x + centers[:, 0:1], y + centers[:, 1:2]], axis=-1)
+
+
+def box_collision_test(corners1: np.ndarray, corners2: np.ndarray) -> np.ndarray:
+    """Pairwise convex collision of BEV rectangles via the separating axis
+    theorem. [N,4,2] x [M,4,2] -> [N,M] bool.
+
+    Equivalent outcome to geometry.py:594-674 (standup prefilter + segment
+    intersection + containment) — two convex polygons intersect iff no
+    candidate edge axis separates them.
+    """
+    n, m = corners1.shape[0], corners2.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((n, m), bool)
+
+    def axes(c):
+        e = np.roll(c, -1, axis=1) - c                       # [K, 4, 2] edges
+        a = np.stack([-e[..., 1], e[..., 0]], axis=-1)       # normals
+        norm = np.linalg.norm(a, axis=-1, keepdims=True)
+        return a / np.maximum(norm, 1e-9)
+
+    ax = np.concatenate([axes(corners1)[:, None, :, :].repeat(m, 1),
+                         axes(corners2)[None, :, :, :].repeat(n, 0)], axis=2)
+    # projections: [N, M, 8, 4]
+    p1 = np.einsum("nmka,npa->nmkp", ax, corners1)
+    p2 = np.einsum("nmka,mpa->nmkp", ax, corners2)
+    sep = (p1.max(-1) < p2.min(-1) - 1e-9) | (p2.max(-1) < p1.min(-1) - 1e-9)
+    return ~np.any(sep, axis=2)
+
+
+def points_in_rbbox_np(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """[N,>=3] points vs [M,7] lidar boxes (z bottom) -> [N,M] bool."""
+    if boxes.shape[0] == 0:
+        return np.zeros((points.shape[0], 0), bool)
+    d = points[:, None, :2] - boxes[None, :, :2]
+    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    lx = d[..., 0] * c - d[..., 1] * s
+    ly = d[..., 0] * s + d[..., 1] * c
+    in_z = (points[:, 2:3] >= boxes[None, :, 2]) & (
+        points[:, 2:3] <= boxes[None, :, 2] + boxes[None, :, 5])
+    return ((np.abs(lx) <= boxes[None, :, 3] / 2)
+            & (np.abs(ly) <= boxes[None, :, 4] / 2) & in_z)
+
+
+def filter_gt_box_outside_range(gt_boxes: np.ndarray,
+                                bv_range: Sequence[float]) -> np.ndarray:
+    """Keep boxes with at least one BEV corner inside [xmin,ymin,xmax,ymax]
+    (geometry.py:546-559)."""
+    if gt_boxes.shape[0] == 0:
+        return np.zeros((0,), bool)
+    corners = corners_2d(gt_boxes[:, :2], gt_boxes[:, 3:5], gt_boxes[:, 6])
+    inside = ((corners[..., 0] >= bv_range[0]) & (corners[..., 0] <= bv_range[2])
+              & (corners[..., 1] >= bv_range[1]) & (corners[..., 1] <= bv_range[3]))
+    return np.any(inside, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# anchors-mask integral image (kitti.py:227-238)
+# ---------------------------------------------------------------------------
+
+def anchors_mask_from_coords(coords_zyx: np.ndarray, anchors_bv: np.ndarray,
+                             voxel_size, pc_range, grid_size,
+                             threshold: float) -> np.ndarray:
+    """BEV occupancy prefilter for anchors.
+
+    Args:
+      coords_zyx: [V, 3] voxel coords (zyx) of the scan (padding rows < 0 ok).
+      anchors_bv: [A, 4] nearest-BEV boxes of the anchors.
+      voxel_size / pc_range / grid_size: xyz-ordered voxel grid spec.
+    Returns:
+      [A] bool mask: anchors whose footprint covers > threshold voxels.
+    """
+    h, w = int(grid_size[1]), int(grid_size[0])
+    ok = coords_zyx[:, 0] >= 0
+    dense = np.zeros((h, w), np.float32)
+    np.add.at(dense, (coords_zyx[ok, 1], coords_zyx[ok, 2]), 1.0)
+    integral = dense.cumsum(0).cumsum(1)
+
+    x0 = np.clip(np.floor((anchors_bv[:, 0] - pc_range[0]) / voxel_size[0]
+                          ).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor((anchors_bv[:, 1] - pc_range[1]) / voxel_size[1]
+                          ).astype(np.int64), 0, h - 1)
+    x1 = np.clip(np.floor((anchors_bv[:, 2] - pc_range[0]) / voxel_size[0]
+                          ).astype(np.int64), 0, w - 1)
+    y1 = np.clip(np.floor((anchors_bv[:, 3] - pc_range[1]) / voxel_size[1]
+                          ).astype(np.int64), 0, h - 1)
+    area = (integral[y1, x1] - integral[y0, x1]
+            - integral[y1, x0] + integral[y0, x0])
+    return area > threshold
+
+
+def nearest_bev_np(boxes: np.ndarray) -> np.ndarray:
+    """[A,7] -> [A,4] nearest axis-aligned BEV (rbbox2d_to_near_bbox)."""
+    rots = boxes[:, 6] - np.floor(boxes[:, 6] / np.pi + 0.5) * np.pi
+    cond = np.abs(rots) > np.pi / 4
+    dx = np.where(cond, boxes[:, 4], boxes[:, 3])
+    dy = np.where(cond, boxes[:, 3], boxes[:, 4])
+    return np.stack([boxes[:, 0] - dx / 2, boxes[:, 1] - dy / 2,
+                     boxes[:, 0] + dx / 2, boxes[:, 1] + dy / 2], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# GT-database sampler
+# ---------------------------------------------------------------------------
+
+class BatchSampler:
+    """Epoch-shuffled pool sampler (point_augmentor.py:103-135)."""
+
+    def __init__(self, sampled_list, shuffle=True, rng=None):
+        self._list = sampled_list
+        self._rng = rng or np.random.default_rng()
+        self._indices = np.arange(len(sampled_list))
+        self._shuffle = shuffle
+        if shuffle:
+            self._rng.shuffle(self._indices)
+        self._idx = 0
+
+    def sample(self, num: int) -> List:
+        if self._idx + num >= len(self._list):
+            ret = self._indices[self._idx:].copy()
+            if self._shuffle:
+                self._rng.shuffle(self._indices)
+            self._idx = 0
+        else:
+            ret = self._indices[self._idx: self._idx + num]
+            self._idx += num
+        return [self._list[i] for i in ret]
+
+
+class PointAugmentor:
+    """Full train-time augmentation pipeline (point_augmentor.py:138-345)."""
+
+    def __init__(self, root_path, info_path, sample_classes, min_num_points,
+                 sample_max_num, removed_difficulties,
+                 gt_rot_range=(-np.pi / 4, np.pi / 4),
+                 global_rot_range=(-np.pi / 4, np.pi / 4),
+                 center_noise_std=(1.0, 1.0, 0.5),
+                 scale_range=(0.95, 1.05),
+                 rng: Optional[np.random.Generator] = None,
+                 db_infos=None):
+        self._rng = rng or np.random.default_rng()
+        if db_infos is None:
+            with open(info_path, "rb") as f:
+                db_infos = pickle.load(f)
+        self._samplers = []
+        if isinstance(min_num_points, int):
+            min_num_points = [min_num_points] * len(sample_classes)
+        for i, cls in enumerate(sample_classes):
+            infos = [x for x in db_infos.get(cls, [])
+                     if x["num_points_in_gt"] >= min_num_points[i]
+                     and x["difficulty"] not in removed_difficulties]
+            self._samplers.append(BatchSampler(infos, rng=self._rng))
+        self.root_path = root_path
+        self._sample_classes = list(sample_classes)
+        self._sample_max_num = (
+            [sample_max_num] * len(sample_classes)
+            if isinstance(sample_max_num, int) else list(sample_max_num))
+        self._global_rot_range = global_rot_range
+        self._gt_rot_range = gt_rot_range
+        self._center_noise_std = np.asarray(center_noise_std, np.float64)
+        self._min_scale, self._max_scale = scale_range
+
+    # -- GT paste ----------------------------------------------------------
+    def sample_all(self, gt_boxes, gt_types):
+        """Paste database objects into the scene, avoiding BEV collisions.
+
+        Returns (sampled_boxes [S,7], sampled_types list, sampled_points [P,4]).
+        """
+        avoid = gt_boxes
+        sampled, sampled_boxes = [], []
+        for i, cls in enumerate(self._sample_classes):
+            want = int(self._sample_max_num[i]
+                       - np.sum([t == cls for t in gt_types]))
+            if want <= 0:
+                continue
+            picked = self._sample_class(avoid, want, i)
+            sampled += picked
+            if picked:
+                boxes = np.stack([s["box3d_lidar"] for s in picked], 0)
+                sampled_boxes.append(boxes)
+                avoid = np.concatenate([avoid, boxes], 0)
+        if not sampled:
+            return (np.empty((0, 7), np.float32), [],
+                    np.empty((0, 4), np.float32))
+        sampled_boxes = np.concatenate(sampled_boxes, 0).astype(np.float32)
+        pts_list, types = [], []
+        for info in sampled:
+            pts = self._load_points(info)
+            pts = pts.reshape(-1, 4).copy()
+            pts[:, :3] += info["box3d_lidar"][:3].astype(np.float32)
+            pts_list.append(pts)
+            types.append(info["name"])
+        return sampled_boxes, types, np.concatenate(pts_list, 0)
+
+    def _load_points(self, info):
+        if "points" in info:                    # in-memory database (tests)
+            return np.asarray(info["points"], np.float32)
+        return np.fromfile(str(Path(self.root_path) / info["path"]),
+                           dtype=np.float32)
+
+    def _sample_class(self, gt_boxes, num, i):
+        picked = self._samplers[i].sample(num)
+        if not picked:
+            return []
+        gt_bv = corners_2d(gt_boxes[:, :2], gt_boxes[:, 3:5], gt_boxes[:, 6])
+        sp = np.stack([s["box3d_lidar"] for s in picked], 0)
+        sp_bv = corners_2d(sp[:, :2], sp[:, 3:5], sp[:, 6])
+        total = np.concatenate([gt_bv, sp_bv], 0)
+        coll = box_collision_test(total, total)
+        np.fill_diagonal(coll, False)
+        n_gt = gt_bv.shape[0]
+        valid = []
+        for k in range(n_gt, n_gt + len(picked)):
+            if coll[k].any():
+                coll[k] = False
+                coll[:, k] = False
+            else:
+                valid.append(picked[k - n_gt])
+        return valid
+
+    # -- per-object jitter -------------------------------------------------
+    def noise_per_object(self, gt_boxes, points, num_try: int = 100):
+        """Independent pose jitter per GT with collision-checked retries
+        (point_augmentor.py:307-345). Mutates and returns (gt_boxes, points)."""
+        n = gt_boxes.shape[0]
+        if n == 0:
+            return gt_boxes, points
+        loc_noises = self._rng.normal(
+            scale=self._center_noise_std, size=(n, num_try, 3))
+        rot_noises = self._rng.uniform(
+            self._gt_rot_range[0], self._gt_rot_range[1], size=(n, num_try))
+
+        corners = corners_2d(gt_boxes[:, :2], gt_boxes[:, 3:5], gt_boxes[:, 6])
+        point_masks = points_in_rbbox_np(points, gt_boxes)
+
+        chosen_loc = np.zeros((n, 3))
+        chosen_rot = np.zeros((n,))
+        for i in range(n):
+            # candidate corners for all tries at once
+            local = corners[i] - gt_boxes[i, :2]
+            c = np.cos(rot_noises[i])[:, None]
+            s = np.sin(rot_noises[i])[:, None]
+            cand = np.stack([local[None, :, 0] * c + local[None, :, 1] * s,
+                             -local[None, :, 0] * s + local[None, :, 1] * c],
+                            axis=-1)
+            cand += gt_boxes[i, :2] + loc_noises[i, :, :2][:, None, :]
+            coll = box_collision_test(cand, corners)          # [T, N]
+            coll[:, i] = False
+            ok = ~coll.any(axis=1)
+            hit = np.argmax(ok)
+            if ok[hit]:
+                chosen_loc[i] = loc_noises[i, hit]
+                chosen_rot[i] = rot_noises[i, hit]
+                corners[i] = cand[hit]
+
+        # transform points of each box (first containing box wins)
+        any_box = point_masks.any(axis=1)
+        first = np.argmax(point_masks, axis=1)
+        if np.any(any_box):
+            idx = np.nonzero(any_box)[0]
+            b = first[idx]
+            rel = points[idx, :3] - gt_boxes[b, :3]
+            c, s = np.cos(chosen_rot[b]), np.sin(chosen_rot[b])
+            rx = rel[:, 0] * c + rel[:, 1] * s
+            ry = -rel[:, 0] * s + rel[:, 1] * c
+            rel = np.stack([rx, ry, rel[:, 2]], 1)
+            points[idx, :3] = rel + gt_boxes[b, :3] + chosen_loc[b]
+
+        gt_boxes[:, :3] += chosen_loc
+        gt_boxes[:, 6] += chosen_rot
+        return gt_boxes, points
+
+    # -- global transforms -------------------------------------------------
+    def random_flip(self, gt_boxes, points, probability: float = 0.5):
+        if self._rng.uniform() < probability:
+            gt_boxes[:, 1] = -gt_boxes[:, 1]
+            gt_boxes[:, 6] = -gt_boxes[:, 6] + np.pi
+            points[:, 1] = -points[:, 1]
+        return gt_boxes, points
+
+    def global_rotation(self, gt_boxes, points):
+        angle = self._rng.uniform(*self._global_rot_range)
+        points[:, :3] = np.concatenate(
+            [rotate_points_z(points[:, :2], angle), points[:, 2:3]], 1)
+        gt_boxes[:, :2] = rotate_points_z(gt_boxes[:, :2].copy(), angle)
+        gt_boxes[:, 6] += angle
+        return gt_boxes, points
+
+    def global_scaling(self, gt_boxes, points):
+        scale = self._rng.uniform(self._min_scale, self._max_scale)
+        points[:, :3] *= scale
+        gt_boxes[:, :6] *= scale
+        return gt_boxes, points

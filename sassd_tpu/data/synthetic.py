@@ -1,0 +1,143 @@
+"""Synthetic KITTI-like scene generator (hermetic tests & benchmarks).
+
+The real KITTI release cannot ship with the framework; this module fabricates
+geometrically consistent scenes — ground-plane returns, box-shaped "cars"
+with surface points, calibration files — in the exact directory layout the
+dataset reader expects, so the full pipeline (create_data, training, eval)
+runs end-to-end without external data.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .calib import Calibration, project_velo_to_rect, project_rect_to_image
+
+_V2C = np.array([[0.0, -1.0, 0.0, 0.0],
+                 [0.0, 0.0, -1.0, -0.08],
+                 [1.0, 0.0, 0.0, -0.27]], np.float64)
+_R0 = np.eye(3)
+_P2 = np.array([[721.5, 0.0, 609.6, 44.9],
+                [0.0, 721.5, 172.9, 0.2],
+                [0.0, 0.0, 1.0, 0.003]], np.float64)
+IMAGE_SHAPE = (375, 1242)
+
+
+def default_calib() -> Calibration:
+    return Calibration(P2=_P2, P3=_P2, R0=_R0, V2C=_V2C)
+
+
+def sample_box_points(box, n, rng):
+    """Surface-ish points on a lidar box [x,y,z,w,l,h,yaw] (clockwise yaw)."""
+    x, y, z, w, l, h, r = box
+    local = rng.uniform(-0.49, 0.49, (n, 3)) * [w, l, h]
+    # push points to (slightly inside) the shell for realism; the inset keeps
+    # them strictly interior so containment tests are not borderline
+    axis = rng.integers(0, 3, n)
+    sign = rng.choice([-0.49, 0.49], n)
+    local[np.arange(n), axis] = sign * np.array([w, l, h])[axis]
+    c, s = np.cos(r), np.sin(r)
+    gx = local[:, 0] * c + local[:, 1] * s + x
+    gy = -local[:, 0] * s + local[:, 1] * c + y
+    gz = local[:, 2] + z + h / 2
+    refl = rng.uniform(0.1, 0.9, n)
+    return np.stack([gx, gy, gz, refl], 1).astype(np.float32)
+
+
+def make_scene(rng, n_cars=(3, 8), n_ground=12000,
+               x_range=(4.0, 66.0), y_range=(-36.0, 36.0)):
+    """Returns (points [N,4], boxes [M,7] lidar, types)."""
+    m = int(rng.integers(*n_cars))
+    boxes = []
+    for _ in range(m):
+        for _try in range(20):
+            b = np.array([
+                rng.uniform(*x_range), rng.uniform(*y_range),
+                rng.uniform(-1.9, -1.5),
+                rng.uniform(1.5, 1.8), rng.uniform(3.4, 4.4),
+                rng.uniform(1.4, 1.8), rng.uniform(-np.pi, np.pi)],
+                np.float32)
+            if all(np.hypot(b[0] - o[0], b[1] - o[1]) > 5.0 for o in boxes):
+                boxes.append(b)
+                break
+    boxes = np.stack(boxes) if boxes else np.zeros((0, 7), np.float32)
+
+    gx = rng.uniform(0, 70.0, n_ground)
+    gy = rng.uniform(-40.0, 40.0, n_ground)
+    gz = rng.normal(-1.75, 0.03, n_ground)
+    gr = rng.uniform(0, 0.3, n_ground)
+    ground = np.stack([gx, gy, gz, gr], 1).astype(np.float32)
+
+    obj_pts = [sample_box_points(b, int(rng.integers(80, 400)), rng)
+               for b in boxes]
+    points = np.concatenate([ground] + obj_pts, 0) if obj_pts else ground
+    rng.shuffle(points, axis=0)
+    return points, boxes, ["Car"] * len(boxes)
+
+
+def lidar_box_to_label_line(box, calib, score=None) -> str:
+    """Lidar box -> KITTI label line (inverse of the dataset's cam->lidar)."""
+    from .calib import project_velo_to_rect
+    loc = project_velo_to_rect(box[None, :3], calib)[0]
+    w, l, h, ry = box[3], box[4], box[5], box[6]
+    # project 3D corners for the 2D box
+    from sassd_tpu.data.augment import corners_2d
+    c2 = corners_2d(box[None, :2], box[None, 3:5], box[None, 6:7][0])[0]
+    zs = np.array([box[2], box[2] + h])
+    corners = np.array([[cx, cy, z] for (cx, cy) in c2 for z in zs])
+    rect = project_velo_to_rect(corners, calib)
+    uv = project_rect_to_image(rect, calib)
+    x0, y0 = uv.min(0)
+    x1, y1 = uv.max(0)
+    alpha = float(-np.arctan2(-box[1], box[0]) + ry)
+    fields = ["Car", "0.00", "0", f"{alpha:.2f}",
+              f"{x0:.2f}", f"{y0:.2f}", f"{x1:.2f}", f"{y1:.2f}",
+              f"{h:.2f}", f"{w:.2f}", f"{l:.2f}",
+              f"{loc[0]:.2f}", f"{loc[1]:.2f}", f"{loc[2]:.2f}", f"{ry:.2f}"]
+    if score is not None:
+        fields.append(f"{score:.4f}")
+    return " ".join(fields)
+
+
+def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
+                          seed: int = 0):
+    """Materialize a synthetic dataset in KITTI directory layout.
+
+    root/
+      training/{velodyne_reduced, label_2, calib}/
+      ImageSets/{train.txt, val.txt}
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    calib = default_calib()
+    tdir = root / "training"
+    for sub in ["velodyne_reduced", "label_2", "calib"]:
+        (tdir / sub).mkdir(parents=True, exist_ok=True)
+    (root / "ImageSets").mkdir(parents=True, exist_ok=True)
+
+    calib_text = "\n".join([
+        "P0: " + " ".join(map(str, _P2.reshape(-1))),
+        "P1: " + " ".join(map(str, _P2.reshape(-1))),
+        "P2: " + " ".join(map(str, _P2.reshape(-1))),
+        "P3: " + " ".join(map(str, _P2.reshape(-1))),
+        "R0_rect: " + " ".join(map(str, _R0.reshape(-1))),
+        "Tr_velo_to_cam: " + " ".join(map(str, _V2C.reshape(-1))),
+        "Tr_imu_to_velo: " + " ".join(map(str, _V2C.reshape(-1))),
+    ]) + "\n"
+
+    ids = {"train": [], "val": []}
+    for i in range(n_train + n_val):
+        split = "train" if i < n_train else "val"
+        ids[split].append(i)
+        points, boxes, types = make_scene(rng)
+        points.tofile(tdir / "velodyne_reduced" / f"{i:06d}.bin")
+        with open(tdir / "calib" / f"{i:06d}.txt", "w") as f:
+            f.write(calib_text)
+        lines = [lidar_box_to_label_line(b, calib) for b in boxes]
+        with open(tdir / "label_2" / f"{i:06d}.txt", "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    for split, sids in ids.items():
+        with open(root / "ImageSets" / f"{split}.txt", "w") as f:
+            f.write("\n".join(f"{s:06d}" for s in sids) + "\n")
+    return root

@@ -1,0 +1,265 @@
+"""SA-SSD detector: orchestration of VFE -> sparse backbone -> BEV trunk ->
+SSD head (+ auxiliary point branch at train, + PSWarp rescoring).
+
+Equivalent of SingleStageDetector (/root/reference/mmdet/models/detectors/
+single_stage.py:13-131) and the aux machinery of SpMiddleFHD
+(/root/reference/mmdet/models/necks/cmn.py:44-135), as pure functions:
+
+    params, state = detector_init(key, cfg)
+    losses, new_state = forward_train(params, state, batch, anchors, cfg)
+    dets = forward_test(params, state, batch, anchors, cfg)
+
+The whole step — including aux point targets (points-in-boxes) and both
+target assignments — runs on device with static shapes; the reference's two
+mid-step host excursions (C++ pts_in_boxes3d, numba-CUDA RotateIou3d) do not
+exist here.
+
+Batch layout (per-sample padding, B = batch):
+    voxels      [B, V, T, F]   zero-padded voxel point slots
+    num_points  [B, V]         points per voxel (0 = padded voxel)
+    coords      [B, V, 3]      zyx int32, -1 rows = padding
+    anchors_mask[B, A]         bool (BEV occupancy prefilter)
+    gt_boxes    [B, G, 7]      zero-padded GT boxes
+    gt_classes  [B, G]         int32 1-based class ids
+    gt_valid    [B, G]         bool
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sassd_tpu.config import SASSDConfig
+from sassd_tpu.core import boxes as box_ops
+from sassd_tpu.core import losses as loss_ops
+from sassd_tpu.core import targets as target_ops
+from sassd_tpu.ops import interpolate, sparse as sp
+from . import backbone, bev, layers as L, pswarp, ssd_head
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def detector_init(key, cfg: SASSDConfig):
+    kvx, kbev, khead, kwarp, kfc, kcls, kreg = jax.random.split(key, 7)
+    m = cfg.model
+    d = cfg.sparse_shape[0]
+    for _ in range(3):                       # three stride-2 levels
+        d = (d - 1) // 2 + 1
+    bev_in = d * 64
+
+    params, state = {}, {}
+    params["vxnet"], state["vxnet"] = backbone.vxnet_init(
+        kvx, m.num_input_features)
+    params["bevnet"], state["bevnet"] = bev.bevnet_init(
+        kbev, bev_in, m.bev_channels)
+    params["head"] = ssd_head.head_init(
+        khead, m.bev_channels, m.num_class, m.num_anchor_per_loc,
+        m.box_code_size)
+    params["pswarp"], state["pswarp"] = pswarp.pswarp_init(
+        kwarp, m.bev_channels, m.num_class, m.num_parts)
+    # aux point branch MLPs (cmn.py:27-29), all bias-free
+    params["aux"] = {
+        "point_fc": L.linear_init(kfc, 160, 64, bias=False),
+        "point_cls": L.linear_init(kcls, 64, 1, bias=False),
+        "point_reg": L.linear_init(kreg, 64, 3, bias=False),
+    }
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# shared spine
+# ---------------------------------------------------------------------------
+
+class SpineOut(NamedTuple):
+    bev_map: jnp.ndarray
+    conv6: jnp.ndarray
+    middles: list
+    points_mean: jnp.ndarray   # [B, V, 3] input-voxel centroids
+    points_valid: jnp.ndarray  # [B, V]
+    new_state: dict
+
+
+def _compute_dtype(cfg: SASSDConfig):
+    return jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+
+
+def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
+                  ) -> SpineOut:
+    cd = _compute_dtype(cfg)
+    vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])  # [B,V,F]
+    keys = jax.vmap(lambda c: sp.coords_to_keys(c, cfg.sparse_shape)
+                    )(batch["coords"])
+    # sort per sample so the sparse engine can binary-search
+    perm = jnp.argsort(keys, axis=1)
+    keys = jnp.take_along_axis(keys, perm, axis=1)
+    vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
+
+    points_mean = vfe[..., :3]
+    points_valid = keys != sp.INVALID_KEY
+
+    out_keys, out_feats, out_shape, middles, vx_state = backbone.vxnet_apply(
+        params["vxnet"], state["vxnet"], keys, vfe,
+        sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
+        train=train, compute_dtype=cd)
+
+    bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
+    bev_map, conv6, bev_state = bev.bevnet_apply(
+        params["bevnet"], state["bevnet"], bev_in, train=train,
+        compute_dtype=cd)
+
+    new_state = dict(state)
+    new_state["vxnet"] = vx_state
+    new_state["bevnet"] = bev_state
+    return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
+                    new_state)
+
+
+# ---------------------------------------------------------------------------
+# auxiliary point branch (train only; detached at inference)
+# ---------------------------------------------------------------------------
+
+_LEVEL_VOXEL_MULT = (2, 4, 8)  # voxel-size multiplier per middle level
+
+
+def aux_forward(params, spine: SpineOut, cfg: SASSDConfig):
+    """Interpolate middle features onto input-voxel centroids -> point preds.
+
+    cmn.py:122-134: three scales (voxel sizes x2/x4/x8) are 3-NN interpolated
+    onto the input centroids, concatenated (32+64+64=160) and pushed through
+    point_fc/point_cls/point_reg.
+    """
+    pcr = np.asarray(cfg.voxel.point_cloud_range[:3], np.float32)
+    vs0 = np.asarray(cfg.voxel.voxel_size, np.float32)
+    feats_per_level = []
+    for (keys, feats, shape), mult in zip(spine.middles, _LEVEL_VOXEL_MULT):
+        vs = vs0 * mult
+        coords = jax.vmap(lambda k: sp.keys_to_coords(k, shape))(keys)
+        centers = (coords[..., [2, 1, 0]].astype(jnp.float32) + 0.5) * vs + pcr
+        kvalid = keys != sp.INVALID_KEY
+
+        interp = jax.vmap(
+            lambda u, kx, kv, kf: interpolate.three_nn_interpolate(u, kx, kv, kf)
+        )(spine.points_mean, centers, kvalid, feats)
+        feats_per_level.append(interp)
+
+    pointwise = L.linear(params["aux"]["point_fc"],
+                         jnp.concatenate(feats_per_level, axis=-1))
+    point_cls = L.linear(params["aux"]["point_cls"], pointwise)[..., 0]
+    point_reg = L.linear(params["aux"]["point_reg"], pointwise)
+    return point_cls, point_reg
+
+
+def aux_loss(point_cls, point_reg, spine: SpineOut, batch,
+             ) -> Dict[str, jnp.ndarray]:
+    """Point segmentation + center-offset regression loss (cmn.py:72-100)."""
+    b = batch["gt_boxes"].shape[0]
+
+    def targets_one(pts, pvalid, gt, gv):
+        flags, label, offsets = box_ops.points_in_boxes3d(pts, gt)
+        flags = flags & gv[None, :] & pvalid[:, None]
+        label = jnp.any(flags, axis=1)
+        first = jnp.argmax(flags, axis=1)
+        centers = gt[:, :3].at[:, 2].add(gt[:, 5] * 0.5)
+        offsets = jnp.where(label[:, None], pts - centers[first], 0.0)
+        return label, offsets
+
+    labels, offsets = jax.vmap(targets_one)(
+        spine.points_mean, spine.points_valid,
+        batch["gt_boxes"], batch["gt_valid"])
+
+    pos = labels & spine.points_valid
+    neg = (~labels) & spine.points_valid
+    posf = pos.astype(jnp.float32)
+    pos_norm = jnp.clip(jnp.sum(posf), a_min=1.0)
+    cls_weights = (posf + neg.astype(jnp.float32)) / pos_norm
+    reg_weights = posf / pos_norm
+
+    cls = loss_ops.sigmoid_focal_loss(
+        point_cls, labels.astype(jnp.float32), cls_weights) / b
+    reg = loss_ops.smooth_l1_loss(
+        point_reg, offsets, reg_weights[..., None], beta=1 / 9.0) / b
+    return dict(aux_loss_cls=cls, aux_loss_reg=reg)
+
+
+# ---------------------------------------------------------------------------
+# train / test entries
+# ---------------------------------------------------------------------------
+
+def _assigner_thresholds(cfg: SASSDConfig) -> Tuple[Tuple[float, ...], ...]:
+    matched = tuple(a.matched_threshold for a in cfg.anchors.values())
+    unmatched = tuple(a.unmatched_threshold for a in cfg.anchors.values())
+    return matched, unmatched
+
+
+def forward_train(params, state, batch, anchors, cfg: SASSDConfig
+                  ) -> Tuple[Dict[str, jnp.ndarray], dict]:
+    """Training forward: all losses (single_stage.py:75-108)."""
+    spine = forward_spine(params, state, batch, cfg, train=True)
+
+    point_cls, point_reg = aux_forward(params, spine, cfg)
+    losses = aux_loss(point_cls, point_reg, spine, batch)
+
+    outs = ssd_head.head_apply(params["head"], spine.bev_map,
+                               cfg.model.num_class, cfg.model.box_code_size)
+    matched, unmatched = _assigner_thresholds(cfg)
+    losses.update(ssd_head.head_loss(
+        outs, anchors, batch["anchors_mask"], batch["gt_boxes"],
+        batch["gt_classes"], batch["gt_valid"],
+        num_class=cfg.model.num_class, matched_thresholds=matched,
+        unmatched_thresholds=unmatched,
+        similarity_fn=target_ops.SIMILARITY_FNS[cfg.train.rpn_similarity]))
+
+    ga = ssd_head.get_guided_anchors(
+        outs, anchors, batch["anchors_mask"], num_class=cfg.model.num_class,
+        thr=cfg.train.anchor_thr, cap=cfg.caps.guided_train,
+        gt_boxes=batch["gt_boxes"], gt_labels=batch["gt_classes"],
+        gt_valid=batch["gt_valid"])
+
+    scores, warp_state = pswarp.pswarp_apply(
+        params["pswarp"], state["pswarp"], spine.conv6, ga.boxes, ga.valid,
+        window_size=cfg.model.window_size,
+        grid_offsets=cfg.model.grid_offsets,
+        featmap_stride=cfg.model.featmap_stride, train=True,
+        compute_dtype=_compute_dtype(cfg))
+    losses.update(pswarp.pswarp_loss(
+        scores, ga.boxes, ga.valid, batch["gt_boxes"], batch["gt_valid"],
+        pos_iou_thr=cfg.train.extra_pos_iou,
+        neg_iou_thr=cfg.train.extra_neg_iou))
+
+    new_state = dict(spine.new_state)
+    new_state["pswarp"] = warp_state
+    return losses, new_state
+
+
+def forward_test(params, state, batch, anchors, cfg: SASSDConfig):
+    """Inference: detections (single_stage.py:110-131).
+
+    Returns dict(boxes [B,D,7], scores [B,D], labels [B,D], valid [B,D]).
+    """
+    spine = forward_spine(params, state, batch, cfg, train=False)
+    outs = ssd_head.head_apply(params["head"], spine.bev_map,
+                               cfg.model.num_class, cfg.model.box_code_size)
+    ga = ssd_head.get_guided_anchors(
+        outs, anchors, batch["anchors_mask"], num_class=cfg.model.num_class,
+        thr=cfg.test.anchor_thr, cap=cfg.caps.guided_test)
+    scores, _ = pswarp.pswarp_apply(
+        params["pswarp"], state["pswarp"], spine.conv6, ga.boxes, ga.valid,
+        window_size=cfg.model.window_size,
+        grid_offsets=cfg.model.grid_offsets,
+        featmap_stride=cfg.model.featmap_stride, train=False,
+        compute_dtype=_compute_dtype(cfg))
+    db, ds, dl, dv = pswarp.rescore_and_nms(
+        ga.boxes, scores, ga.labels, ga.valid,
+        score_thr=cfg.test.score_thr, nms_iou_thr=cfg.test.nms_iou_thr,
+        max_det=cfg.caps.max_det)
+    return dict(boxes=db, scores=ds, labels=dl, valid=dv)
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]):
+    """Sum entries whose key contains 'loss' (train_utils/__init__.py:8-25)."""
+    total = sum(v for k, v in losses.items() if "loss" in k)
+    return total, losses

@@ -1,0 +1,62 @@
+"""Three-nearest-neighbor feature interpolation (aux branch).
+
+Replaces the pointnet2 CUDA extension of the reference
+(/root/reference/mmdet/ops/pointnet2/src/interpolate_gpu.cu:9-165 and the
+`nearest_neighbor_interpolate` wrapper, necks/cmn.py:175-189) with a chunked
+matmul-based brute-force search that runs on the MXU: squared distances are
+computed as |u|^2 + |k|^2 - 2 u.k (one [chunk,3] x [3,M] GEMM per chunk), and
+the 3 nearest are taken with top_k. Chunking bounds the transient distance
+matrix; `lax.map` keeps memory flat while XLA pipelines the chunks.
+
+Weighting matches the reference wrapper exactly: w_i = (1/(d2_i + 1e-8)) /
+sum_j (1/(d2_j + 1e-8)) over the 3 nearest, where d2 are *squared* distances
+(pointnet2's three_nn returns squared distances).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def three_nn_interpolate(unknown_xyz: jnp.ndarray,
+                         known_xyz: jnp.ndarray,
+                         known_valid: jnp.ndarray,
+                         known_feats: jnp.ndarray,
+                         chunk: int = 512) -> jnp.ndarray:
+    """Interpolate features from `known` points onto `unknown` points.
+
+    Args:
+      unknown_xyz: [N, 3] query positions (padded rows produce garbage that the
+        caller masks; N must be a multiple of `chunk`... it is padded here).
+      known_xyz:   [M, 3] source positions.
+      known_valid: [M] bool validity (padded source rows are excluded).
+      known_feats: [M, C] source features.
+    Returns:
+      [N, C] interpolated features.
+    """
+    n = unknown_xyz.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        unknown_xyz = jnp.concatenate(
+            [unknown_xyz, jnp.zeros((pad, 3), unknown_xyz.dtype)])
+    k2 = jnp.sum(known_xyz * known_xyz, axis=1)               # [M]
+    invalid_bias = jnp.where(known_valid, 0.0, _BIG)
+
+    def one_chunk(u):
+        u2 = jnp.sum(u * u, axis=1, keepdims=True)            # [c, 1]
+        d2 = u2 + k2[None, :] - 2.0 * jnp.dot(
+            u, known_xyz.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(d2, 0.0) + invalid_bias[None, :]
+        neg, idx = jax.lax.top_k(-d2, 3)                      # [c, 3]
+        d2_3 = -neg
+        w = 1.0 / (d2_3 + 1e-8)
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        f = known_feats[idx]                                  # [c, 3, C]
+        return jnp.sum(f * w[..., None], axis=1)
+
+    chunks = unknown_xyz.reshape(-1, chunk, 3)
+    out = jax.lax.map(one_chunk, chunks)
+    out = out.reshape(-1, known_feats.shape[-1])
+    return out[:n]

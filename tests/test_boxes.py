@@ -140,9 +140,9 @@ def test_box_camera_to_lidar():
         [0, 0, -1, 0],
         [1, 0, 0, 0],
         [0, 0, 0, 1]], np.float32)
-    # camera box at (x=2 right, y=1 down, z=10 fwd), l,h,w, ry=0.2
-    cam = np.array([[2.0, 1.0, 10.0, 3.9, 1.56, 1.6, 0.2]], np.float32)
+    # camera box at (x=2 right, y=1 down, z=10 fwd), dims (w, l, h), ry=0.2
+    cam = np.array([[2.0, 1.0, 10.0, 1.6, 3.9, 1.56, 0.2]], np.float32)
     lidar = B.box_camera_to_lidar(cam, r_rect, velo2cam)
     np.testing.assert_allclose(np.asarray(lidar[0, :3]), [10.0, -2.0, -1.0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(lidar[0, 3:6]), [1.6, 3.9, 1.56], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(lidar[0, 6]), -0.2 - np.pi / 2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lidar[0, 6]), 0.2, atol=1e-5)

@@ -21,10 +21,11 @@ def mc_intersection(a, b, n=200_000, seed=0):
     pts = rng.uniform(lo, hi, (n, 2))
 
     def inside(box):
+        # clockwise yaw convention (points_op.cpp:100-101)
         d = pts - box[:2]
         c, s = np.cos(box[4]), np.sin(box[4])
-        lx = d[:, 0] * c + d[:, 1] * s
-        ly = -d[:, 0] * s + d[:, 1] * c
+        lx = d[:, 0] * c - d[:, 1] * s
+        ly = d[:, 0] * s + d[:, 1] * c
         return (np.abs(lx) <= box[2] / 2) & (np.abs(ly) <= box[3] / 2)
 
     frac = np.mean(inside(a) & inside(b))
