@@ -151,6 +151,76 @@ class SASSDConfig:
         return len(self.anchors) * h * w * self.model.num_anchor_per_loc
 
 
+def car_config(**overrides) -> SASSDConfig:
+    """The flagship single-class KITTI Car configuration
+    (/root/reference/configs/car_cfg.py)."""
+    return SASSDConfig(**overrides)
+
+
+def multi_config(**overrides) -> SASSDConfig:
+    """Three-class Car/Pedestrian/Cyclist configuration
+    (/root/reference/configs/multi_cfg.py): shared anchor grid geometry,
+    per-class sizes and assigner thresholds."""
+    anchors = {
+        "Car": AnchorConfig(sizes=(1.6, 3.9, 1.56),
+                            matched_threshold=0.6, unmatched_threshold=0.45),
+        "Pedestrian": AnchorConfig(sizes=(0.6, 0.8, 1.73),
+                                   matched_threshold=0.5,
+                                   unmatched_threshold=0.35),
+        "Cyclist": AnchorConfig(sizes=(0.6, 1.76, 1.73),
+                                matched_threshold=0.5,
+                                unmatched_threshold=0.35),
+    }
+    base = dict(
+        model=ModelConfig(num_class=3),
+        anchors=anchors,
+        data=DataConfig(class_names=("Car", "Pedestrian", "Cyclist"),
+                        sample_classes=("Car", "Pedestrian", "Cyclist"),
+                        sample_max_num=(15, 10, 10),
+                        min_num_points=(5, 5, 5)),
+    )
+    base.update(overrides)
+    return SASSDConfig(**base)
+
+
+def long_range_config(**overrides) -> SASSDConfig:
+    """Long-range stress configuration (BASELINE.json configs[4]): 0-100m
+    range at the same voxel size (~2x grid, ~4x voxel budget)."""
+    base = dict(
+        voxel=VoxelConfig(voxel_size=(0.05, 0.05, 0.1),
+                          point_cloud_range=(0.0, -40.0, -3.0, 102.4, 40.0, 1.0),
+                          max_num_points=5, max_voxels=80000),
+        caps=Caps(max_points_per_scan=262144, max_gt=64,
+                  level_caps=(80000, 73728, 57344, 40960),
+                  guided_train=640, guided_test=512, max_det=100),
+        anchors={"Car": AnchorConfig(
+            sizes=(1.6, 3.9, 1.56), strides=(0.4, 0.4, 1.0),
+            offsets=(0.2, -39.8, -1.78))},
+    )
+    base.update(overrides)
+    return SASSDConfig(**base)
+
+
+def tiny_config(**overrides) -> SASSDConfig:
+    """A miniature config with the full topology at toy shapes — used by the
+    test suite and the multi-chip dry run (compiles in seconds on CPU)."""
+    base = dict(
+        model=ModelConfig(num_class=1, bev_channels=32, num_parts=28,
+                          grid_offsets=(0.0, 3.2), featmap_stride=0.8),
+        voxel=VoxelConfig(voxel_size=(0.1, 0.1, 0.5),
+                          point_cloud_range=(0.0, -3.2, -2.5, 6.4, 3.2, 1.5),
+                          max_num_points=5, max_voxels=512),
+        caps=Caps(max_points_per_scan=2048, max_gt=8,
+                  level_caps=(512, 512, 384, 256),
+                  guided_train=40, guided_test=32, max_det=16),
+        anchors={"Car": AnchorConfig(
+            sizes=(1.6, 3.9, 1.56), strides=(0.8, 0.8, 1.0),
+            offsets=(0.4, -2.8, -1.0))},
+    )
+    base.update(overrides)
+    return SASSDConfig(**base)
+
+
 def load_config(path: str) -> SASSDConfig:
     """Execute a python config file that defines `config: SASSDConfig`."""
     spec = importlib.util.spec_from_file_location("_sassd_user_config", path)

@@ -201,10 +201,18 @@ def rotate_nms(boxes_bev, scores, iou_threshold: float, valid=None):
 # host (numpy) evaluator kernels — replaces rotate_nms_gpu.py:498-627
 # ---------------------------------------------------------------------------
 
-def rotate_overlap_bev_np(boxes1, boxes2):
-    """Numpy pairwise rotated intersection areas ([N,5] x [M,5] -> [N,M])."""
-    return _pairwise(_pair_area_np, np.asarray(boxes1, np.float64),
-                     np.asarray(boxes2, np.float64), np)
+def rotate_overlap_bev_np(boxes1, boxes2, use_native: bool = True):
+    """Numpy pairwise rotated intersection areas ([N,5] x [M,5] -> [N,M]).
+
+    Routes to the C++ host kernel when built (csrc/sassd_host.cpp)."""
+    boxes1 = np.asarray(boxes1, np.float64)
+    boxes2 = np.asarray(boxes2, np.float64)
+    if use_native and boxes1.shape[0] and boxes2.shape[0]:
+        from sassd_tpu.ops import native
+        if native.available():
+            return native.rotated_overlap_cpp(boxes1, boxes2, 2).astype(
+                np.float64)
+    return _pairwise(_pair_area_np, boxes1, boxes2, np)
 
 
 def rotate_iou_eval_np(boxes1, boxes2, criterion: int = -1):

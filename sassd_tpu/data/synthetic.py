@@ -100,6 +100,43 @@ def lidar_box_to_label_line(box, calib, score=None) -> str:
     return " ".join(fields)
 
 
+def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
+                      n_gt: int = 3):
+    """A random device batch in the detector's input layout (tests/dryruns)."""
+    from sassd_tpu.ops.voxelize import voxelize_np
+
+    voxels, coords, nums, gts = [], [], [], []
+    pcr = np.asarray(cfg.voxel.point_cloud_range)
+    for _ in range(batch_size):
+        pts = np.zeros((n_points, 4), np.float32)
+        pts[:, 0] = rng.uniform(pcr[0], pcr[3], n_points)
+        pts[:, 1] = rng.uniform(pcr[1], pcr[4], n_points)
+        pts[:, 2] = rng.uniform(pcr[2], pcr[5], n_points)
+        pts[:, 3] = rng.uniform(0, 1, n_points)
+        v, c, np_ = voxelize_np(pts, cfg.voxel, pad=True)
+        voxels.append(v)
+        coords.append(c)
+        nums.append(np_)
+        g = np.zeros((cfg.caps.max_gt, 7), np.float32)
+        g[:n_gt, 0] = rng.uniform(pcr[0] + 1, pcr[3] * 0.8, n_gt)
+        g[:n_gt, 1] = rng.uniform(pcr[1] * 0.6, pcr[4] * 0.6, n_gt)
+        g[:n_gt, 2] = -1.7
+        g[:n_gt, 3:6] = [1.6, 3.9, 1.56]
+        g[:n_gt, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+        gts.append(g)
+    a = cfg.num_anchors
+    gmask = np.arange(cfg.caps.max_gt) < n_gt
+    return {
+        "voxels": np.stack(voxels),
+        "num_points": np.stack(nums),
+        "coords": np.stack(coords),
+        "anchors_mask": np.ones((batch_size, a), bool),
+        "gt_boxes": np.stack(gts),
+        "gt_classes": gmask[None].repeat(batch_size, 0).astype(np.int32),
+        "gt_valid": gmask[None].repeat(batch_size, 0),
+    }
+
+
 def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
                           seed: int = 0):
     """Materialize a synthetic dataset in KITTI directory layout.

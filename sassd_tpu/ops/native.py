@@ -1,0 +1,108 @@
+"""ctypes bindings for the native host library (csrc/sassd_host.cpp).
+
+Build with `make -C csrc` (or `python -m sassd_tpu.ops.native`). Every entry
+point has a pure-numpy fallback, so the framework runs without the library —
+the C++ path is the fast host lane for dataloader voxelization and the
+evaluator's rotated-overlap matrices.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "csrc" / "libsassd_host.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the shared library in-tree. Returns success."""
+    try:
+        out = subprocess.run(["make", "-C", str(_LIB_PATH.parent)],
+                             capture_output=True, text=True, timeout=120)
+        if verbose:
+            print(out.stdout, out.stderr)
+        return out.returncode == 0 and _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and os.environ.get("SASSD_BUILD_NATIVE", "1") == "1":
+        build()
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64, f32p = ctypes.c_int64, np.ctypeslib.ndpointer(np.float32, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    lib.voxelize.restype = i64
+    lib.voxelize.argtypes = [f32p, i64, i64, f32p, f32p, i64p, i64, i64,
+                             f32p, i32p, i32p]
+    lib.points_in_rbbox.restype = None
+    lib.points_in_rbbox.argtypes = [f32p, i64, i64, f32p, i64, u8p]
+    lib.rotated_overlap.restype = None
+    lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def voxelize_cpp(points: np.ndarray, pc_min, voxel_size, grid,
+                 max_pts: int, max_voxels: int):
+    """Native first-come voxelization. Returns (voxels, coords, num, m)."""
+    lib = _load()
+    assert lib is not None
+    points = np.ascontiguousarray(points, np.float32)
+    n, f = points.shape
+    voxels = np.zeros((max_voxels, max_pts, f), np.float32)
+    coords = np.full((max_voxels, 3), -1, np.int32)
+    nums = np.zeros((max_voxels,), np.int32)
+    m = lib.voxelize(points, n, f,
+                     np.ascontiguousarray(pc_min, np.float32),
+                     np.ascontiguousarray(voxel_size, np.float32),
+                     np.ascontiguousarray(grid, np.int64),
+                     max_pts, max_voxels, voxels, coords, nums)
+    return voxels, coords, nums, int(m)
+
+
+def points_in_rbbox_cpp(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    points = np.ascontiguousarray(points, np.float32)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    out = np.zeros((points.shape[0], boxes.shape[0]), np.uint8)
+    if points.size and boxes.size:
+        lib.points_in_rbbox(points, points.shape[0], points.shape[1],
+                            boxes, boxes.shape[0], out)
+    return out.astype(bool)
+
+
+def rotated_overlap_cpp(boxes: np.ndarray, qboxes: np.ndarray,
+                        criterion: int = 2) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    boxes = np.ascontiguousarray(boxes, np.float64)
+    qboxes = np.ascontiguousarray(qboxes, np.float64)
+    out = np.zeros((boxes.shape[0], qboxes.shape[0]), np.float32)
+    if boxes.size and qboxes.size:
+        lib.rotated_overlap(boxes, boxes.shape[0], qboxes, qboxes.shape[0],
+                            criterion, out)
+    return out
+
+
+if __name__ == "__main__":
+    ok = build(verbose=True)
+    print("native build:", "ok" if ok else "FAILED")

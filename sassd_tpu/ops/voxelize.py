@@ -53,8 +53,11 @@ class VoxelConfig:
 
 
 def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
-                pad: bool = False):
+                pad: bool = False, use_native: bool = True):
     """Host voxelization with reference-exact first-come semantics.
+
+    Uses the C++ kernel (csrc/sassd_host.cpp) when built — the fast lane for
+    dataloader workers — with this vectorized numpy path as fallback.
 
     Args:
       points: [N, F] with xyz in the first 3 columns.
@@ -62,6 +65,16 @@ def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
     Returns:
       voxels [M, T, F] float32, coords [M, 3] int32 (zyx), num_points [M] int32.
     """
+    if use_native:
+        from . import native
+        if native.available():
+            v, c, n, m = native.voxelize_cpp(
+                points, np.asarray(cfg.point_cloud_range[:3], np.float32),
+                np.asarray(cfg.voxel_size, np.float32),
+                cfg.grid_size, cfg.max_num_points, cfg.max_voxels)
+            if pad:
+                return v, c, n
+            return v[:m], c[:m], n[:m]
     pcr = np.asarray(cfg.point_cloud_range, np.float32)
     vs = np.asarray(cfg.voxel_size, np.float32)
     grid = cfg.grid_size

@@ -1,0 +1,86 @@
+"""Checkpoint save / restore with real resume.
+
+Equivalent of checkpoint_state/save_checkpoint/load_params_from_file
+(/root/reference/tools/train_utils/__init__.py:103-180) with the reference's
+known gap fixed: the reference defines `resume_from` in its configs but
+hardcodes start_epoch = it = 0 (train.py:92); here `latest_checkpoint` +
+`restore` return the saved (epoch, step) so the one-cycle schedule continues
+exactly where it stopped.
+
+Format: one msgpack file per checkpoint (flax.serialization) holding
+{params, state, opt_state, epoch, step}; rolling window of the newest
+`max_keep` files (train.py:36 --max_ckpt_save_num).
+"""
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+_NAME = re.compile(r"checkpoint_epoch_(\d+)\.msgpack$")
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(work_dir: str, epoch: int, step: int, params, state, opt_state,
+         max_keep: int = 10) -> str:
+    """Write a checkpoint and prune old ones."""
+    Path(work_dir).mkdir(parents=True, exist_ok=True)
+    payload = dict(params=_to_host(params), state=_to_host(state),
+                   opt_state=serialization.to_state_dict(_to_host(opt_state)),
+                   epoch=epoch, step=step)
+    path = Path(work_dir) / f"checkpoint_epoch_{epoch}.msgpack"
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: p[0])
+    for e, p in ckpts[:-max_keep]:
+        os.remove(p)
+    return str(path)
+
+
+def list_checkpoints(work_dir: str):
+    out = []
+    for p in Path(work_dir).glob("checkpoint_epoch_*.msgpack"):
+        m = _NAME.search(str(p))
+        if m:
+            out.append((int(m.group(1)), str(p)))
+    return out
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: p[0])
+    return ckpts[-1][1] if ckpts else None
+
+
+def restore(path: str, params_like, state_like, opt_state_like
+            ) -> Tuple[Any, Any, Any, int, int]:
+    """Load a checkpoint into the shape of freshly-initialized pytrees.
+
+    Returns (params, state, opt_state, epoch, step). Like the reference's
+    load_params_from_file (:154-180), parameter shapes are validated by
+    construction (from_state_dict fails loudly on mismatch).
+    """
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_like, payload["params"])
+    state = serialization.from_state_dict(state_like, payload["state"])
+    opt_state = serialization.from_state_dict(opt_state_like,
+                                              payload["opt_state"])
+    return params, state, opt_state, int(payload["epoch"]), int(payload["step"])
+
+
+def load_params_only(path: str, params_like):
+    """Partial load for fine-tuning (load_from semantics)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(params_like, payload["params"])

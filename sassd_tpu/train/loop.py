@@ -1,0 +1,144 @@
+"""Training loop: jitted DP train step, logging, checkpointing, resume.
+
+Equivalent of /root/reference/tools/train_utils/__init__.py:28-116
+(batch_processor / train_one_epoch / train_model) with the step — forward,
+all losses, target assignment, optimizer update, BN state update — compiled
+as ONE jitted function over the device mesh.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sassd_tpu.config import SASSDConfig
+from sassd_tpu.models import detector
+from sassd_tpu.parallel import mesh as mesh_lib
+from . import checkpoint as ckpt_lib
+from . import optim as optim_lib
+
+
+def make_train_step(cfg: SASSDConfig, anchors, tx,
+                    mesh=None):
+    """Build the jitted train step (donates params/state/opt_state)."""
+
+    def step(params, state, opt_state, batch):
+        def loss_fn(p):
+            losses, new_state = detector.forward_train(
+                p, state, batch, anchors, cfg)
+            total, _ = detector.parse_losses(losses)
+            return total, (losses, new_state)
+
+        grads, (losses, new_state) = jax.grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = sum(losses.values())
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_state, new_opt, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(step,
+                       in_shardings=(repl, repl, repl, data),
+                       out_shardings=(repl, repl, repl, repl),
+                       donate_argnums=(0, 1, 2))
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+class LogBuffer:
+    """Running averages flushed every `interval` iters (mmcv LogBuffer)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def update(self, metrics: Dict[str, float]):
+        for k, v in metrics.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.counts[k] = self.counts.get(k, 0) + 1
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+
+    def clear(self):
+        self.sums.clear()
+        self.counts.clear()
+
+
+def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
+                total_epochs: Optional[int] = None, mesh=None,
+                logger: Optional[logging.Logger] = None,
+                resume: bool = True):
+    """Full training run. Returns (params, state, final_step)."""
+    logger = logger or logging.getLogger("sassd")
+    work_dir = work_dir or cfg.work_dir
+    total_epochs = total_epochs or cfg.train.total_epochs
+    bs = cfg.train.batch_size
+    shards = mesh_lib.num_data_shards(mesh)
+    steps_per_epoch = max(len(dataset) // bs, 1)
+    total_steps = steps_per_epoch * total_epochs
+
+    anchors = jnp.asarray(dataset.anchors)
+    params, state = detector.detector_init(
+        jax.random.PRNGKey(cfg.train.seed), cfg)
+    tx = optim_lib.make_optimizer(cfg.train, total_steps)
+    opt_state = tx.init(params)
+
+    start_epoch, step = 0, 0
+    if cfg.load_from:
+        params = ckpt_lib.load_params_only(cfg.load_from, params)
+        logger.info("loaded params from %s", cfg.load_from)
+    ckpt_path = cfg.resume_from or (
+        ckpt_lib.latest_checkpoint(work_dir) if resume else None)
+    if ckpt_path:
+        params, state, opt_state, start_epoch, step = ckpt_lib.restore(
+            ckpt_path, params, state, opt_state)
+        start_epoch += 1
+        logger.info("resumed from %s (epoch %d, step %d)",
+                    ckpt_path, start_epoch, step)
+
+    if mesh is not None:
+        params, state, opt_state = (mesh_lib.replicate(mesh, t)
+                                    for t in (params, state, opt_state))
+    train_step = make_train_step(cfg, anchors, tx, mesh)
+
+    from sassd_tpu.data.loader import iterate_batches
+    buf = LogBuffer()
+    for epoch in range(start_epoch, total_epochs):
+        t0 = time.time()
+        for batch, _metas in iterate_batches(
+                dataset, bs, epoch=epoch, seed=cfg.train.seed, shuffle=True,
+                num_workers=cfg.data.num_workers):
+            dev_batch = (mesh_lib.shard_batch(mesh, batch)
+                         if mesh is not None else batch)
+            params, state, opt_state, metrics = train_step(
+                params, state, opt_state, dev_batch)
+            step += 1
+            buf.update(jax.device_get(metrics))
+            if step % cfg.train.log_interval == 0:
+                avg = buf.averages()
+                lr, mom = optim_lib.current_hyperparams(
+                    jax.device_get(opt_state))
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
+                logger.info("epoch %d step %d lr %.5f mom %.3f %s",
+                            epoch, step, lr, mom, msg)
+                buf.clear()
+        logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+        if ((epoch + 1) % cfg.train.checkpoint_interval == 0
+                or epoch == total_epochs - 1):
+            path = ckpt_lib.save(work_dir, epoch, step,
+                                 jax.device_get(params),
+                                 jax.device_get(state),
+                                 jax.device_get(opt_state),
+                                 max_keep=cfg.train.max_ckpt_keep)
+            logger.info("saved %s", path)
+    return params, state, step

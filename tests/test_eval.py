@@ -1,0 +1,157 @@
+"""KITTI AP protocol tests on canned annotations.
+
+Note the devkit quirk (faithfully reproduced from kitti_eval.py:17-36):
+score thresholds land on a 41-point recall grid, so AP only saturates when
+TP scores are dense (recall step 1/num_gt below the 0.025 grid spacing) —
+tests therefore use >=60 GTs with distinct scores.
+"""
+import numpy as np
+
+from sassd_tpu.eval import kitti_eval as KE
+from sassd_tpu.eval.results import anno_to_result_lines, detections_to_kitti_anno
+
+N_IMG = 16
+PER_IMG = 4
+
+
+def make_anno(n, rng, cls="Car", height=60.0):
+    """Camera-frame anno with easy (tall, unoccluded) boxes."""
+    anno = KE.empty_anno()
+    if n == 0:
+        return anno
+    x = rng.uniform(-20, 20, n)
+    z = rng.uniform(5, 60, n)
+    anno.update(
+        name=np.array([cls] * n),
+        truncated=np.zeros(n), occluded=np.zeros(n, np.int64),
+        alpha=rng.uniform(-np.pi, np.pi, n),
+        bbox=np.stack([100 + 200 * np.arange(n), np.full(n, 100.0),
+                       160 + 200 * np.arange(n), np.full(n, 100.0 + height)],
+                      1).astype(np.float64),
+        dimensions=np.tile([[3.9, 1.56, 1.6]], (n, 1)),   # (l, h, w)
+        location=np.stack([x, np.full(n, 1.65), z], 1),
+        rotation_y=rng.uniform(-np.pi, np.pi, n),
+        score=rng.uniform(0.3, 1.0, n))
+    return anno
+
+
+def dense_dataset(seed=0, n_img=N_IMG, per_img=PER_IMG):
+    rng = np.random.default_rng(seed)
+    gts, dts = [], []
+    for i in range(n_img):
+        gt = make_anno(per_img, rng)
+        dt = {k: v.copy() for k, v in gt.items()}
+        gts.append(gt)
+        dts.append(dt)
+    return gts, dts
+
+
+def test_perfect_detections_ap100():
+    gts, dts = dense_dataset()
+    for metric in (0, 1, 2):
+        ret = KE.eval_class(gts, dts, 0, 1, metric, 0.7)
+        assert KE.ap11(ret["precision"]) > 99.0, metric
+        assert KE.ap40(ret["precision"]) > 97.0, metric
+
+
+def test_half_detected_recall_caps_ap():
+    """Detect exactly half the GTs perfectly: precision 1 up to recall .5,
+    11-point AP = 6/11, 40-point AP ~ .5."""
+    gts, dts = dense_dataset()
+    dts = [{k: (v[: PER_IMG // 2].copy() if len(v) else v)
+            for k, v in d.items()} for d in dts]
+    ret = KE.eval_class(gts, dts, 0, 1, 2, 0.7)
+    assert abs(KE.ap11(ret["precision"]) - 6 / 11 * 100) < 3.0
+    assert abs(KE.ap40(ret["precision"]) - 51.25) < 3.0
+    assert abs(ret["recall"].max() - 0.5) < 0.02
+
+
+def test_false_positives_hurt_precision():
+    gts, dts = dense_dataset()
+    rng = np.random.default_rng(99)
+    for d in dts:
+        fp = make_anno(PER_IMG, rng)
+        fp["location"][:, 0] += 500.0
+        fp["bbox"] = fp["bbox"] + 5000.0
+        fp["score"] = rng.uniform(0.9, 1.0, PER_IMG)   # FPs outscore TPs
+        for k in d:
+            d[k] = np.concatenate([d[k], fp[k]])
+    ret = KE.eval_class(gts, dts, 0, 1, 2, 0.7)
+    assert KE.ap11(ret["precision"]) < 70.0
+
+
+def test_van_ignored_for_car():
+    """Van GTs neither count as misses nor penalize matched detections."""
+    gts, dts = dense_dataset(seed=1)
+    for g in gts:
+        g["name"] = np.array(["Car", "Car", "Car", "Van"])
+    ret = KE.eval_class(gts, dts, 0, 1, 2, 0.7)
+    assert KE.ap11(ret["precision"]) > 99.0
+    # vans detected as cars are not false positives
+    assert ret["precision"][:20].min() > 0.99
+
+
+def test_difficulty_filtering():
+    """Boxes shorter than 40px are ignored at easy difficulty."""
+    rng = np.random.default_rng(2)
+    gts, dts = [], []
+    for i in range(N_IMG):
+        gt = make_anno(PER_IMG, rng, height=30.0)
+        gts.append(gt)
+        dts.append({k: v.copy() for k, v in gt.items()})
+    ret_easy = KE.eval_class(gts, dts, 0, 0, 2, 0.7)
+    assert KE.ap11(ret_easy["precision"]) == 0.0    # nothing countable
+    ret_mod = KE.eval_class(gts, dts, 0, 1, 2, 0.7)
+    assert KE.ap11(ret_mod["precision"]) > 99.0
+
+
+def test_aos_degrades_with_wrong_alpha():
+    gts, dts = dense_dataset(seed=3)
+    ret = KE.eval_class(gts, dts, 0, 1, 0, 0.7, compute_aos=True)
+    assert KE.ap11(ret["orientation"]) > 99.0
+    for d in dts:
+        d["alpha"] = d["alpha"] + np.pi          # maximally wrong
+    ret2 = KE.eval_class(gts, dts, 0, 1, 0, 0.7, compute_aos=True)
+    assert KE.ap11(ret2["orientation"]) < 5.0
+
+
+def test_get_thresholds_protocol():
+    scores = np.linspace(0.99, 0.01, 200)
+    th = KE.get_thresholds(scores.copy(), 200)
+    assert len(th) <= 41
+    assert np.all(np.diff(th) <= 0)
+
+
+def test_official_result_text():
+    gts, dts = dense_dataset(seed=4)
+    results, text = KE.get_official_eval_result(gts, dts, ["Car"])
+    assert results["Car"]["3d"]["R40"][1] > 97.0
+    assert "aos" in results["Car"]
+    assert "bev" in text
+
+
+def test_detections_roundtrip_through_result_lines(tmp_path):
+    """detector output -> anno -> result file -> parsed anno round trip."""
+    from sassd_tpu.data import synthetic
+    rng = np.random.default_rng(3)
+    calib = synthetic.default_calib()
+    _, boxes, _ = synthetic.make_scene(rng, n_cars=(4, 7))
+    meta = dict(calib=calib, img_shape=synthetic.IMAGE_SHAPE, sample_idx=0)
+    anno = detections_to_kitti_anno(
+        boxes, np.linspace(0.9, 0.5, len(boxes)),
+        np.zeros(len(boxes), int), np.ones(len(boxes), bool), meta, ["Car"])
+    assert len(anno["name"]) >= 1
+    lines = anno_to_result_lines(anno)
+    p = tmp_path / "000000.txt"
+    p.write_text("\n".join(lines) + "\n")
+    parsed = KE.label_file_to_anno(p)
+    np.testing.assert_allclose(parsed["location"], anno["location"], atol=1e-4)
+    np.testing.assert_allclose(parsed["dimensions"], anno["dimensions"],
+                               atol=1e-4)
+    np.testing.assert_allclose(parsed["rotation_y"], anno["rotation_y"],
+                               atol=1e-4)
+    # a perfect self-match yields max recall 1 at moderate difficulty
+    gt = {k: v.copy() for k, v in parsed.items()}
+    ret = KE.eval_class([gt], [parsed], 0, 2, 2, 0.7)
+    assert ret["recall"].max() > 0.99
+    assert ret["precision"][0] > 0.99

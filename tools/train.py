@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Equivalent of /root/reference/tools/train.py: load a config, build the
+dataset + detector, train with one-cycle Adam under a data-parallel mesh.
+
+    python tools/train.py configs/car.py --work_dir ./runs/car
+    python tools/train.py configs/car.py --synthetic   # hermetic smoke run
+"""
+import argparse
+import dataclasses
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train a SA-SSD TPU detector")
+    ap.add_argument("config", help="python config file defining `config`")
+    ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--resume_from", default=None)
+    ap.add_argument("--load_from", default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on generated synthetic scenes (no KITTI)")
+    args = ap.parse_args()
+
+    import jax
+    from sassd_tpu.config import load_config
+    from sassd_tpu.data.kitti import KittiDataset
+    from sassd_tpu.data.synthetic import write_synthetic_kitti
+    from sassd_tpu.parallel import mesh as mesh_lib
+    from sassd_tpu.train.loop import train_model
+    from sassd_tpu.utils.logging_utils import get_root_logger
+
+    cfg = load_config(args.config)
+    updates = {}
+    if args.work_dir:
+        updates["work_dir"] = args.work_dir
+    if args.resume_from:
+        updates["resume_from"] = args.resume_from
+    if args.load_from:
+        updates["load_from"] = args.load_from
+    if args.seed is not None:
+        updates["train"] = dataclasses.replace(cfg.train, seed=args.seed)
+    if updates:
+        cfg = dataclasses.replace(cfg, **updates)
+
+    logger = get_root_logger(cfg.work_dir)
+    logger.info("devices: %s", jax.devices())
+
+    if args.synthetic:
+        root = tempfile.mkdtemp(prefix="sassd_synth_")
+        write_synthetic_kitti(root, n_train=16, n_val=4,
+                              seed=cfg.train.seed)
+        data_root = os.path.join(root, "training")
+        split = os.path.join(root, "ImageSets", "train.txt")
+    else:
+        data_root = os.path.join(cfg.data.root, "training")
+        split = cfg.data.info_path or os.path.join(
+            cfg.data.root, "ImageSets", "train.txt")
+
+    dataset = KittiDataset(cfg, data_root, split)
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    train_model(cfg, dataset, work_dir=cfg.work_dir,
+                total_epochs=args.epochs, mesh=mesh, logger=logger)
+
+
+if __name__ == "__main__":
+    main()
