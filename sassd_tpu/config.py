@@ -60,6 +60,8 @@ class ModelConfig:
     num_parts: int = 28                # 4 x 7 sampling window
     window_size: Tuple[int, int] = (4, 7)
     compute_dtype: str = "float32"     # "bfloat16" for max MXU throughput
+    dense_index: bool = True           # dense index maps + sort-free active
+                                       # sets (TPU fast path) vs binary search
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,12 +34,21 @@ def _make_impl(xp, is_jax: bool):
     """
 
     def scatter_rows(buf, cols, vals, mask):
-        """buf[p, cols[p, i]] = vals[p, i] where mask; col==_MAXV is a trash slot."""
-        P = buf.shape[0]
-        rows = xp.arange(P)[:, None]
+        """buf[p, cols[p, i]] = vals[p, i] where mask; col==_MAXV is a trash slot.
+
+        The jax path is scatter-free: emitted-slot placement is a one-hot
+        contraction (TPU scatters serialize; a [V, V+1] one-hot einsum is
+        pure VPU/MXU work). Active columns are unique per row, so summing
+        one-hot contributions equals the scatter."""
         cols = xp.where(mask, cols, _MAXV)
         if is_jax:
-            return buf.at[rows, cols].set(xp.where(mask[..., None], vals, 0.0))
+            onehot = (cols[..., None] ==
+                      xp.arange(_MAXV + 1)[None, None, :])      # [P, V, V+1]
+            vals = xp.where(mask[..., None], vals, 0.0)
+            add = xp.einsum("pvk,pvd->pkd", onehot.astype(vals.dtype), vals)
+            return buf + add
+        P = buf.shape[0]
+        rows = np.arange(P)[:, None]
         buf[rows, cols] = xp.where(mask[..., None], vals, buf[rows, cols])
         return buf
 
@@ -91,10 +100,11 @@ def _make_impl(xp, is_jax: bool):
         P = boxes_a.shape[0]
         ca = corners(boxes_a)
         cb = corners(boxes_b)
-        verts = xp.zeros((P, _MAXV, 2), dtype=boxes_a.dtype)
         if is_jax:
-            verts = verts.at[:, :4].set(ca)
+            verts = xp.concatenate(
+                [ca, xp.zeros((P, _MAXV - 4, 2), dtype=boxes_a.dtype)], axis=1)
         else:
+            verts = xp.zeros((P, _MAXV, 2), dtype=boxes_a.dtype)
             verts[:, :4] = ca
         n = xp.full((P,), 4, dtype=xp.int32)
         for k in range(4):
@@ -129,7 +139,15 @@ def _pairwise(fn, boxes1, boxes2, xp):
 # ---------------------------------------------------------------------------
 
 def rotate_overlap_bev(boxes1, boxes2):
-    """Pairwise rotated-BEV intersection areas. [N,5] x [M,5] -> [N,M]."""
+    """Pairwise rotated-BEV intersection areas. [N,5] x [M,5] -> [N,M].
+
+    On TPU this dispatches to the Pallas kernel (ops/pallas/riou_kernel.py),
+    which keeps the whole clip pipeline in VMEM; the XLA-composed fallback
+    below serves CPU and remains the semantics oracle."""
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        from sassd_tpu.ops.pallas.riou_kernel import rotate_overlap_pallas
+        return rotate_overlap_pallas(boxes1, boxes2, criterion=2)
     return _pairwise(_pair_area_jnp, boxes1, boxes2, jnp)
 
 
@@ -186,14 +204,30 @@ def rotate_nms(boxes_bev, scores, iou_threshold: float, valid=None):
     order = jnp.argsort(-scores)
     boxes_sorted = boxes_bev[order]
     iou = rotate_iou_bev(boxes_sorted, boxes_sorted)
-    idx = jnp.arange(n)
     keep0 = jnp.isfinite(scores[order])
 
-    def body(i, keep):
-        suppress = (iou[i] > iou_threshold) & (idx > i) & keep[i]
-        return keep & ~suppress
+    # Exact greedy NMS via fixpoint iteration instead of an N-step serial
+    # loop: with boxes score-sorted, greedy keep is the unique fixpoint of
+    #   G(K)_i = valid_i and not exists j < i with K_j and iou(i, j) > thr.
+    # G is antitone over an acyclic (strictly ranked) suppression relation,
+    # so iterating G from all-kept converges to the greedy solution in at
+    # most the suppression-chain depth (a handful of rounds in practice).
+    # Each round is one [N, N] masked reduction — TPU-parallel — versus the
+    # reference's sequential bitmask sweep (iou3d.cpp:84-120).
+    tri = jnp.tril(jnp.ones((n, n), bool), k=-1)              # j < i
+    sup = tri & (iou > iou_threshold)                         # [i, j]
 
-    keep = jax.lax.fori_loop(0, n, body, keep0)
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < n) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _, it = carry
+        new = keep0 & ~jnp.any(sup & keep[None, :], axis=1)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), 0))
     return order, keep
 
 

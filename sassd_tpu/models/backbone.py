@@ -78,30 +78,51 @@ def _subm_block(p, s, feats, plan, mask, train, cd):
 
 
 def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
-                train: bool, compute_dtype=jnp.float32):
+                train: bool, compute_dtype=jnp.float32,
+                dense_index: bool = True):
     """Run the sparse ladder.
 
     Args:
       keys0:  [B, M0] sorted voxel keys (INVALID padded) at full resolution.
       feats0: [B, M0, F] VFE features.
+      dense_index: resolve neighbors through per-level dense index maps
+        (one scatter + one gather; the TPU-fast path) instead of binary
+        search over sorted keys.
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
-       middles: list of (keys, feats, shape, voxel_size_multiplier) per level,
-       new_state)
+       middles: list of (keys, feats, shape) per level, new_state)
     """
     cd = compute_dtype
     new_state = {}
     shape0 = sparse_shape
     m0 = keys0 != sp.INVALID_KEY
 
-    plan0 = jax.vmap(lambda k: sp.build_subm_plan(k, shape0))(keys0)
+    def index_map(keys, shape):
+        if not dense_index:
+            return None
+        return jax.vmap(lambda k: sp.build_index_map(k, shape))(keys)
+
+    def subm_plan(keys, shape, imap):
+        if imap is None:
+            return jax.vmap(lambda k: sp.build_subm_plan(k, shape))(keys)
+        return jax.vmap(lambda k, im: sp.build_subm_plan(k, shape,
+                                                         index_map=im)
+                        )(keys, imap)
+
+    imap0 = index_map(keys0, shape0)
+    plan0 = subm_plan(keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
         params["conv0"], state["conv0"], feats0, plan0, m0, train, cd)
 
-    def down(pfx, keys, x, shape, cap, mask):
-        out_keys = jax.vmap(lambda k: sp.downsample_keys(k, shape, cap))(keys)
-        plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(ik, ok, shape)
-                        )(keys, out_keys)
+    def down(pfx, keys, x, shape, cap, mask, imap):
+        ds = (sp.downsample_keys_dense if dense_index else sp.downsample_keys)
+        out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
+        if imap is None:
+            plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(ik, ok, shape)
+                            )(keys, out_keys)
+        else:
+            plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
+                ik, ok, shape, index_map=im))(keys, out_keys, imap)
         y = jax.vmap(lambda f, pl: sp.subm_conv(
             f, params[pfx]["conv0"]["w"], pl, cd))(x, plan)
         omask = out_keys != sp.INVALID_KEY
@@ -111,20 +132,26 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         new_state[pfx] = {"bn0": bs}
         return out_keys, y, sp.out_shape_stride2(shape), omask
 
-    keys1, x, shape1, m1 = down("down0", keys0, x, shape0, level_caps[1], m0)
-    plan1 = jax.vmap(lambda k: sp.build_subm_plan(k, shape1))(keys1)
+    keys1, x, shape1, m1 = down("down0", keys0, x, shape0, level_caps[1], m0,
+                                imap0)
+    imap1 = index_map(keys1, shape1)
+    plan1 = subm_plan(keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
         params["conv1"], state["conv1"], x, plan1, m1, train, cd)
     mid0 = (keys1, x, shape1)
 
-    keys2, x, shape2, m2 = down("down1", keys1, x, shape1, level_caps[2], m1)
-    plan2 = jax.vmap(lambda k: sp.build_subm_plan(k, shape2))(keys2)
+    keys2, x, shape2, m2 = down("down1", keys1, x, shape1, level_caps[2], m1,
+                                imap1)
+    imap2 = index_map(keys2, shape2)
+    plan2 = subm_plan(keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
         params["conv2"], state["conv2"], x, plan2, m2, train, cd)
     mid1 = (keys2, x, shape2)
 
-    keys3, x, shape3, m3 = down("down2", keys2, x, shape2, level_caps[3], m2)
-    plan3 = jax.vmap(lambda k: sp.build_subm_plan(k, shape3))(keys3)
+    keys3, x, shape3, m3 = down("down2", keys2, x, shape2, level_caps[3], m2,
+                                imap2)
+    imap3 = index_map(keys3, shape3)
+    plan3 = subm_plan(keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
         params["conv3"], state["conv3"], x, plan3, m3, train, cd)
     mid2 = (keys3, x, shape3)

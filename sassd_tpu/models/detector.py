@@ -93,10 +93,11 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
     vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])  # [B,V,F]
     keys = jax.vmap(lambda c: sp.coords_to_keys(c, cfg.sparse_shape)
                     )(batch["coords"])
-    # sort per sample so the sparse engine can binary-search
-    perm = jnp.argsort(keys, axis=1)
-    keys = jnp.take_along_axis(keys, perm, axis=1)
-    vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
+    if not cfg.model.dense_index:
+        # binary-search neighbor resolution needs sorted keys
+        perm = jnp.argsort(keys, axis=1)
+        keys = jnp.take_along_axis(keys, perm, axis=1)
+        vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
 
     points_mean = vfe[..., :3]
     points_valid = keys != sp.INVALID_KEY
@@ -104,7 +105,7 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
     out_keys, out_feats, out_shape, middles, vx_state = backbone.vxnet_apply(
         params["vxnet"], state["vxnet"], keys, vfe,
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-        train=train, compute_dtype=cd)
+        train=train, compute_dtype=cd, dense_index=cfg.model.dense_index)
 
     bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
     bev_map, conv6, bev_state = bev.bevnet_apply(

@@ -79,6 +79,37 @@ def valid_mask(keys: jnp.ndarray) -> jnp.ndarray:
     return keys != INVALID_KEY
 
 
+def build_index_map(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int]
+                    ) -> jnp.ndarray:
+    """Dense [D*H*W] int32 map: linear key -> row in the level arrays (-1 = empty).
+
+    One scatter builds the map; every neighbor lookup afterwards is a single
+    gather — ~15x fewer memory passes than binary search over sorted keys.
+    This is the TPU analog of spconv's GPU hash table: HBM is large enough to
+    hold the dense grid (the full-res KITTI grid is 90M cells = 360 MB,
+    transient), and a dense scatter/gather needs no atomics.
+    """
+    d, h, w = shape_zyx
+    total = d * h * w
+    ok = keys != INVALID_KEY
+    dense = jnp.full((total,), -1, jnp.int32)
+    idx = jnp.where(ok, keys, total)
+    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    return dense.at[idx].set(rows, mode="drop")
+
+
+def lookup_dense(index_map: jnp.ndarray, queries: jnp.ndarray):
+    """Resolve linear-key queries through a dense index map.
+
+    Returns (rows clipped to >=0, found mask)."""
+    total = index_map.shape[0]
+    q = jnp.where((queries >= 0) & (queries < total)
+                  & (queries != INVALID_KEY), queries, 0)
+    rows = index_map[q]
+    found = (rows >= 0) & (queries != INVALID_KEY)
+    return jnp.maximum(rows, 0), found
+
+
 # ---------------------------------------------------------------------------
 # submanifold conv plan (indice_key analog)
 # ---------------------------------------------------------------------------
@@ -96,9 +127,13 @@ def _offsets(kernel: int = 3) -> np.ndarray:
 
 
 def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
-                    kernel: int = 3) -> SubmPlan:
+                    kernel: int = 3, index_map: jnp.ndarray = None
+                    ) -> SubmPlan:
     """Neighbor indices for a submanifold conv at this level (built once,
-    reused by every subm conv with the same level — spconv indice_key)."""
+    reused by every subm conv with the same level — spconv indice_key).
+
+    With `index_map` (see build_index_map) resolution is one dense gather;
+    otherwise binary search over the sorted keys."""
     d, h, w = shape_zyx
     coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
@@ -107,7 +142,10 @@ def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
     inb = inb & (coords[None, :, 0] >= 0)
     q = (nb[..., 0] * h + nb[..., 1]) * w + nb[..., 2]
     q = jnp.where(inb, q, INVALID_KEY).astype(jnp.int32)
-    idx, found = lookup(keys, q.reshape(-1))
+    if index_map is not None:
+        idx, found = lookup_dense(index_map, q.reshape(-1))
+    else:
+        idx, found = lookup(keys, q.reshape(-1))
     k = off.shape[0]
     return SubmPlan(idx.reshape(k, -1), found.reshape(k, -1))
 
@@ -155,14 +193,9 @@ def out_shape_stride2(shape_zyx: Tuple[int, int, int]) -> Tuple[int, int, int]:
     return tuple((s - 1) // 2 + 1 for s in shape_zyx)
 
 
-def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
-                    out_cap: int) -> jnp.ndarray:
-    """Active output set of a stride-2 k3 p1 sparse conv.
-
-    Each input voxel coordinate i contributes to outputs o with
-    2o-1 <= i <= 2o+1, i.e. o in {i//2, (i+1)//2} per dim (<= 8 parents).
-    The output set is the union, computed as sort+unique with a static cap.
-    """
+def _downsample_candidates(keys: jnp.ndarray,
+                           shape_zyx: Tuple[int, int, int]) -> jnp.ndarray:
+    """[8*M] candidate output keys of a stride-2 k3 p1 conv (with dups)."""
     od, oh, ow = out_shape_stride2(shape_zyx)
     coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
     c0 = coords // 2
@@ -177,12 +210,51 @@ def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
                 ok = ((coords[:, 0] >= 0) & (z < od) & (y < oh) & (x < ow))
                 kk = (z * oh + y) * ow + x
                 cands.append(jnp.where(ok, kk, INVALID_KEY).astype(jnp.int32))
-    return _unique_sorted(jnp.concatenate(cands), out_cap)
+    return jnp.concatenate(cands)
+
+
+def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
+                    out_cap: int) -> jnp.ndarray:
+    """Active output set of a stride-2 k3 p1 sparse conv (sorted, capped).
+
+    Each input voxel coordinate i contributes to outputs o with
+    2o-1 <= i <= 2o+1, i.e. o in {i//2, (i+1)//2} per dim (<= 8 parents).
+    The output set is the union, computed as sort+unique with a static cap.
+    """
+    return _unique_sorted(_downsample_candidates(keys, shape_zyx), out_cap)
+
+
+def downsample_keys_dense(keys: jnp.ndarray,
+                          shape_zyx: Tuple[int, int, int],
+                          out_cap: int) -> jnp.ndarray:
+    """Sort-free active-set computation for the TPU fast path.
+
+    XLA sorts on TPU are expensive; instead each candidate key is scatter-
+    max'ed into a dense grid at the output resolution, the surviving
+    ("representative") candidates are identified with one gather, and a
+    cumsum compacts them into the capped output array. Output order is
+    deterministic (candidate-major) but NOT sorted — pair with the dense
+    index maps, which don't need sorted keys.
+    """
+    od, oh, ow = out_shape_stride2(shape_zyx)
+    total = od * oh * ow
+    cands = _downsample_candidates(keys, shape_zyx)           # [8M]
+    n = cands.shape[0]
+    valid = cands != INVALID_KEY
+    safe = jnp.where(valid, cands, total)
+    mark = jnp.full((total,), -1, jnp.int32)
+    mark = mark.at[safe].max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    is_rep = valid & (mark[jnp.minimum(safe, total - 1)]
+                      == jnp.arange(n, dtype=jnp.int32))
+    rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    out = jnp.full((out_cap,), INVALID_KEY, jnp.int32)
+    return out.at[jnp.where(is_rep, rank, out_cap)].set(cands, mode="drop")
 
 
 def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
                       in_shape: Tuple[int, int, int],
-                      kernel: int = 3) -> SubmPlan:
+                      kernel: int = 3, index_map: jnp.ndarray = None
+                      ) -> SubmPlan:
     """Gather plan mapping each output voxel's 27 taps to input rows.
 
     For output o and kernel tap k (0..2 per dim), the input coordinate is
@@ -198,7 +270,10 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
     inb = inb & (ocoords[None, :, 0] >= 0)
     q = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
     q = jnp.where(inb, q, INVALID_KEY).astype(jnp.int32)
-    idx, found = lookup(in_keys, q.reshape(-1))
+    if index_map is not None:
+        idx, found = lookup_dense(index_map, q.reshape(-1))
+    else:
+        idx, found = lookup(in_keys, q.reshape(-1))
     k = off.shape[0]
     return SubmPlan(idx.reshape(k, -1), found.reshape(k, -1))
 

@@ -118,7 +118,8 @@ def test_conv1x1():
     feats = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(S.conv1x1(feats, w)),
-                               np.asarray(feats) @ np.asarray(w), atol=1e-4)
+                               np.asarray(feats) @ np.asarray(w), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_vmap_batch():

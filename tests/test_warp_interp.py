@@ -1,0 +1,97 @@
+"""PSWarp sampling vs torch grid_sample; 3-NN interpolation vs brute force."""
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from sassd_tpu.ops import interpolate, warp
+
+
+def torch_reference_warp(image_hwk, xs, ys):
+    """Transcription of ssd_rotate_head.py:400-414 (grid_sample path)."""
+    k, n = xs.shape
+    h, w, c = image_hwk.shape
+    assert c == k
+    img = torch.tensor(np.moveaxis(image_hwk, -1, 0)).unsqueeze(1)  # [K,1,H,W]
+    sx = torch.tensor(xs).unsqueeze(2).unsqueeze(3)
+    sy = torch.tensor(ys).unsqueeze(2).unsqueeze(3)
+    samples = torch.cat([sx, sy], 3)
+    samples[..., 0] = samples[..., 0] / (w - 1)
+    samples[..., 1] = samples[..., 1] / (h - 1)
+    samples = samples * 2 - 1
+    out = torch.nn.functional.grid_sample(img, samples, align_corners=True)
+    return out[:, 0, :, 0].numpy()                             # [K, N]
+
+
+def test_bilinear_matches_grid_sample():
+    rng = np.random.default_rng(0)
+    h, w, k, n = 20, 30, 28, 50
+    img = rng.normal(size=(h, w, k)).astype(np.float32)
+    xs = rng.uniform(-3, w + 3, (k, n)).astype(np.float32)   # incl. outside
+    ys = rng.uniform(-3, h + 3, (k, n)).astype(np.float32)
+    ref = torch_reference_warp(img, xs, ys)
+    got = np.asarray(warp.bilinear_sample_per_part(
+        jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_gen_sample_grid_formula():
+    """Lattice points must match the reference generator (ssd_rotate_head.py
+    :374-398) transcribed here in numpy."""
+    rng = np.random.default_rng(1)
+    n = 12
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, :2] = rng.uniform(0, 60, (n, 2))
+    boxes[:, 2:4] = rng.uniform(1.5, 4.5, (n, 2))
+    boxes[:, 4] = rng.uniform(-np.pi, np.pi, n)
+    wx, wy = 4, 7
+    off = (0.0, 40.0)
+    scale = 2.5
+
+    xs, ys = warp.gen_sample_grid(jnp.asarray(boxes), (wx, wy), off, scale)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    assert xs.shape == (wx * wy, n)
+
+    x, y, w, l, r = boxes.T
+    xx = np.linspace(-0.5, 0.5, wx)[:, None, None] * w[None, None, :]  # [wx,1,n]
+    yy = np.linspace(-0.5, 0.5, wy)[None, :, None] * l[None, None, :]
+    c, s = np.cos(r), np.sin(r)
+    gx = (xx * c + yy * s + x) + off[0]
+    gy = (yy * c - xx * s + y) + off[1]
+    np.testing.assert_allclose(xs, (gx * scale).reshape(wx * wy, n), atol=1e-4)
+    np.testing.assert_allclose(ys, (gy * scale).reshape(wx * wy, n), atol=1e-4)
+
+
+def test_three_nn_interpolate_oracle():
+    rng = np.random.default_rng(2)
+    n, m, c = 300, 200, 8
+    unknown = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    known = rng.uniform(0, 10, (m + 40, 3)).astype(np.float32)
+    valid = np.arange(m + 40) < m
+    feats = rng.normal(size=(m + 40, c)).astype(np.float32)
+
+    got = np.asarray(interpolate.three_nn_interpolate(
+        jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(valid),
+        jnp.asarray(feats), chunk=64))
+
+    # brute-force oracle with the reference weighting (1/(d2+eps), cmn.py:175-189)
+    d2 = ((unknown[:, None, :] - known[None, :m, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :3]
+    d3 = np.take_along_axis(d2, idx, axis=1)
+    wgt = 1.0 / (d3 + 1e-8)
+    wgt = wgt / wgt.sum(1, keepdims=True)
+    ref = (feats[idx] * wgt[..., None]).sum(1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_interpolation_smooth_field():
+    """Interpolating a linear field reproduces it (3-NN convexity check)."""
+    rng = np.random.default_rng(3)
+    known = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+    feats = (known @ np.array([[1.0], [2.0], [-0.5]], np.float32))
+    unknown = rng.uniform(1, 9, (100, 3)).astype(np.float32)
+    got = np.asarray(interpolate.three_nn_interpolate(
+        jnp.asarray(unknown), jnp.asarray(known),
+        jnp.ones(500, bool), jnp.asarray(feats)))
+    ref = unknown @ np.array([[1.0], [2.0], [-0.5]], np.float32)
+    # 3-NN of a dense cloud approximates a linear field coarsely
+    assert np.abs(got - ref).mean() < 0.5

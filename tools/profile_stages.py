@@ -1,8 +1,7 @@
 #!/usr/bin/env python
-"""Stage-by-stage timing of the inference graph on the current device."""
+"""Stage timing of the inference graph on the current device (unbuffered)."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -10,16 +9,46 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/sassd_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from sassd_tpu.config import car_config
 from sassd_tpu.data.kitti import build_anchors
 from sassd_tpu.data.synthetic import make_scene
-from sassd_tpu.models import backbone, bev, detector, pswarp, ssd_head
+from sassd_tpu.models import backbone, detector
 from sassd_tpu.ops import sparse as sp
 from sassd_tpu.ops.voxelize import voxelize_np
-from sassd_tpu.utils.timer import timeit
+
+
+def timeit(fn, *args, warmup=2, iters=6):
+    # axon (networked TPU): amortize the host round trip — dispatch `iters`
+    # executions back to back, force completion once via a host transfer
+    import time
+    import jax, jax.numpy as jnp
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        if leaf.dtype == jnp.bool_:
+            leaf = leaf.astype(jnp.int32)
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+
+def log(*a):
+    print(*a, flush=True)
 
 
 def main():
+    which = sys.argv[1:] or ["plans", "vxnet", "full"]
     cfg = car_config()
     rng = np.random.default_rng(0)
     pts, _, _ = make_scene(rng, n_cars=(6, 12), n_ground=60000)
@@ -33,95 +62,143 @@ def main():
         "gt_classes": jnp.zeros((1, cfg.caps.max_gt), jnp.int32),
         "gt_valid": jnp.zeros((1, cfg.caps.max_gt), bool),
     }
-    print("occupied voxels:", int((n > 0).sum()))
+    log("occupied voxels:", int((n > 0).sum()))
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
     anchors = jnp.asarray(build_anchors(cfg)[0])
 
-    @jax.jit
-    def spine_fn(params, state, batch):
-        return detector.forward_spine(params, state, batch, cfg,
-                                      train=False).bev_map
-
-    @jax.jit
-    def full_fn(params, state, batch):
-        return detector.forward_test(params, state, batch, anchors, cfg)
-
-    # spine pieces
-    vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])
     keys = jax.vmap(lambda cc: sp.coords_to_keys(cc, cfg.sparse_shape))(
         batch["coords"])
-    perm = jnp.argsort(keys, axis=1)
-    keys = jnp.take_along_axis(keys, perm, axis=1)
-    vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
+    keys = jnp.sort(keys, axis=1)
+    vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])
 
-    @jax.jit
-    def plan0_fn(keys):
-        return jax.vmap(lambda k: sp.build_subm_plan(k, cfg.sparse_shape))(keys)
+    if "plans" in which:
+        @jax.jit
+        def plan_search(keys):
+            return jax.vmap(lambda k: sp.build_subm_plan(
+                k, cfg.sparse_shape))(keys).idx
 
-    @jax.jit
-    def vxnet_fn(params, state, keys, vfe):
-        return backbone.vxnet_apply(
+        @jax.jit
+        def plan_dense(keys):
+            def one(k):
+                im = sp.build_index_map(k, cfg.sparse_shape)
+                return sp.build_subm_plan(k, cfg.sparse_shape,
+                                          index_map=im).idx
+            return jax.vmap(one)(keys)
+
+        log("plan0 searchsorted:", timeit(plan_search, keys, warmup=1,
+                                          iters=5) * 1e3, "ms")
+        log("plan0 dense-map   :", timeit(plan_dense, keys, warmup=1,
+                                          iters=5) * 1e3, "ms")
+
+    if "vxparts" in which:
+        @jax.jit
+        def imaps_fn(keys):
+            return jax.vmap(lambda k: sp.build_index_map(
+                k, cfg.sparse_shape))(keys)
+        log("imap level0:", timeit(imaps_fn, keys) * 1e3, "ms")
+
+        imap0 = imaps_fn(keys)
+
+        @jax.jit
+        def plan_fn(keys, imap0):
+            return jax.vmap(lambda k, im: sp.build_subm_plan(
+                k, cfg.sparse_shape, index_map=im))(keys, imap0).idx
+        log("plan0 given imap:", timeit(plan_fn, keys, imap0) * 1e3, "ms")
+
+        @jax.jit
+        def down_fn(keys):
+            return jax.vmap(lambda k: sp.downsample_keys_dense(
+                k, cfg.sparse_shape, cfg.caps.level_caps[1]))(keys)
+        log("downsample0 dense:", timeit(down_fn, keys) * 1e3, "ms")
+
+        plan0 = plan_fn(keys, imap0)
+        from sassd_tpu.ops.sparse import SubmPlan
+        w16 = jnp.asarray(np.random.default_rng(0).normal(
+            size=(27, 16, 16)).astype(np.float32))
+        f16 = jnp.asarray(np.random.default_rng(1).normal(
+            size=(1, keys.shape[1], 16)).astype(np.float32))
+        found = jnp.ones_like(plan0, dtype=bool)
+
+        @jax.jit
+        def conv_fn(f16, plan0):
+            pl_ = SubmPlan(plan0, found)
+            return jax.vmap(lambda f, i, fo: sp.subm_conv(
+                f, w16, SubmPlan(i, fo)))(f16, plan0, found)
+        log("one subm conv16 L0:", timeit(conv_fn, f16, plan0) * 1e3, "ms")
+
+    if "vxnet" in which:
+        for dense in (False, True):
+            @jax.jit
+            def vx(params, state, keys, vfe, dense=dense):
+                return backbone.vxnet_apply(
+                    params["vxnet"], state["vxnet"], keys, vfe,
+                    sparse_shape=cfg.sparse_shape,
+                    level_caps=cfg.caps.level_caps,
+                    train=False, dense_index=dense)[1]
+            log(f"vxnet dense_index={dense}:",
+                timeit(vx, params, state, keys, vfe, warmup=1, iters=5) * 1e3,
+                "ms")
+
+    if "tail" in which:
+        from sassd_tpu.models import bev as bev_mod
+        from sassd_tpu.models import pswarp, ssd_head
+
+        out = backbone.vxnet_apply(
             params["vxnet"], state["vxnet"], keys, vfe,
             sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-            train=False)[1]
+            train=False)
+        okeys, ofeats, oshape = out[0], out[1], out[2]
 
-    out = backbone.vxnet_apply(
-        params["vxnet"], state["vxnet"], keys, vfe,
-        sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-        train=False)
-    okeys, ofeats, oshape = out[0], out[1], out[2]
+        @jax.jit
+        def bev_fn(params, state, okeys, ofeats):
+            bev_in = backbone.densify_bev(okeys, ofeats, oshape)
+            return bev_mod.bevnet_apply(params["bevnet"], state["bevnet"],
+                                        bev_in, train=False)[0]
+        log("densify+bevnet:",
+            timeit(bev_fn, params, state, okeys, ofeats) * 1e3, "ms")
 
-    @jax.jit
-    def bev_fn(params, state, okeys, ofeats):
-        bev_in = backbone.densify_bev(okeys, ofeats, oshape)
-        return bev.bevnet_apply(params["bevnet"], state["bevnet"], bev_in,
-                                train=False)[0]
+        bev_map = bev_fn(params, state, okeys, ofeats)
+        conv6 = bev_mod.bevnet_apply(
+            params["bevnet"], state["bevnet"],
+            backbone.densify_bev(okeys, ofeats, oshape), train=False)[1]
 
-    bev_map = bev_fn(params, state, okeys, ofeats)
+        @jax.jit
+        def head_fn(params, bev_map, mask):
+            outs = ssd_head.head_apply(params["head"], bev_map, 1)
+            return ssd_head.get_guided_anchors(
+                outs, anchors, mask, num_class=1, thr=0.1,
+                cap=cfg.caps.guided_test)
+        log("head+guided_anchors:",
+            timeit(head_fn, params, bev_map, batch["anchors_mask"]) * 1e3,
+            "ms")
 
-    @jax.jit
-    def head_fn(params, bev_map, mask):
-        outs = ssd_head.head_apply(params["head"], bev_map, 1)
-        return ssd_head.get_guided_anchors(outs, anchors, mask, num_class=1,
-                                           thr=0.1, cap=cfg.caps.guided_test)
+        ga = head_fn(params, bev_map, batch["anchors_mask"])
 
-    ga = head_fn(params, bev_map, batch["anchors_mask"])
+        @jax.jit
+        def warp_only(params, state, conv6, ga):
+            return pswarp.pswarp_apply(
+                params["pswarp"], state["pswarp"], conv6, ga.boxes, ga.valid,
+                grid_offsets=cfg.model.grid_offsets,
+                featmap_stride=cfg.model.featmap_stride)[0]
+        log("pswarp score:",
+            timeit(warp_only, params, state, conv6, ga) * 1e3, "ms")
 
-    conv6 = bev.bevnet_apply(params["bevnet"], state["bevnet"],
-                             backbone.densify_bev(okeys, ofeats, oshape),
-                             train=False)[1]
+        scores = warp_only(params, state, conv6, ga)
 
-    @jax.jit
-    def warp_fn(params, state, conv6, ga):
-        scores, _ = pswarp.pswarp_apply(
-            params["pswarp"], state["pswarp"], conv6, ga.boxes, ga.valid,
-            grid_offsets=cfg.model.grid_offsets,
-            featmap_stride=cfg.model.featmap_stride)
-        return pswarp.rescore_and_nms(ga.boxes, scores, ga.labels, ga.valid,
-                                      max_det=cfg.caps.max_det)
+        @jax.jit
+        def nms_fn(ga, scores):
+            return pswarp.rescore_and_nms(
+                ga.boxes, scores, ga.labels, ga.valid,
+                max_det=cfg.caps.max_det)[0]
+        log("rescore+nms:", timeit(nms_fn, ga, scores) * 1e3, "ms")
 
-    @jax.jit
-    def nms_only_fn(ga, scores):
-        return pswarp.rescore_and_nms(ga.boxes, scores, ga.labels, ga.valid,
-                                      max_det=cfg.caps.max_det)
-
-    scores, _ = pswarp.pswarp_apply(
-        params["pswarp"], state["pswarp"], conv6, ga.boxes, ga.valid,
-        grid_offsets=cfg.model.grid_offsets,
-        featmap_stride=cfg.model.featmap_stride)
-
-    for name, fn, args in [
-        ("plan0 (searchsorted level0)", plan0_fn, (keys,)),
-        ("vxnet (sparse backbone)", vxnet_fn, (params, state, keys, vfe)),
-        ("densify+bevnet", bev_fn, (params, state, okeys, ofeats)),
-        ("head+guided_anchors", head_fn, (params, bev_map, batch["anchors_mask"])),
-        ("pswarp+nms", warp_fn, (params, state, conv6, ga)),
-        ("nms only", nms_only_fn, (ga, scores)),
-        ("spine (all pre-head)", spine_fn, (params, state, batch)),
-        ("FULL inference", full_fn, (params, state, batch)),
-    ]:
-        t = timeit(fn, *args, warmup=2, iters=6)
-        print(f"{name:<32} {t * 1e3:8.2f} ms")
+    if "full" in which:
+        @jax.jit
+        def full_fn(params, state, batch):
+            return detector.forward_test(params, state, batch, anchors, cfg)
+        log("FULL inference:",
+            timeit(full_fn, params, state, batch, warmup=2, iters=8) * 1e3,
+            "ms")
 
 
 if __name__ == "__main__":
