@@ -33,12 +33,14 @@ def main():
     cfg = car_config()
     rng = np.random.default_rng(0)
 
+    from sassd_tpu.data.kitti import build_host_plans
+
     # realistic scans: ground plane + cars, ~16-18k occupied voxels
     batches = []
     for i in range(8):
         pts, _boxes, _ = make_scene(rng, n_cars=(6, 12), n_ground=60000)
         v, c, n = voxelize_np(pts, cfg.voxel, pad=True)
-        batches.append({
+        batch = {
             "voxels": jnp.asarray(v[None]),
             "num_points": jnp.asarray(n[None]),
             "coords": jnp.asarray(c[None]),
@@ -46,7 +48,10 @@ def main():
             "gt_boxes": jnp.zeros((1, cfg.caps.max_gt, 7)),
             "gt_classes": jnp.zeros((1, cfg.caps.max_gt), jnp.int32),
             "gt_valid": jnp.zeros((1, cfg.caps.max_gt), bool),
-        })
+        }
+        for k, arr in build_host_plans(cfg, c).items():
+            batch[k] = jnp.asarray(arr[None])
+        batches.append(batch)
 
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
     anchors = jnp.asarray(build_anchors(cfg)[0])

@@ -168,3 +168,155 @@ void rotated_overlap(const double* boxes, int64_t n, const double* qboxes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// sparse conv plan builder (host rulebook)
+// ---------------------------------------------------------------------------
+// Builds, for the whole VxNet ladder, the gather plans the device kernels
+// consume: per level L the active coords, the 27-tap submanifold neighbor
+// rows, and (L>=1) the 27-tap stride-2 gather rows into level L-1. The
+// reference delegates this to spconv's GPU rulebook; on TPU the host builds
+// it with hash maps (pipelined with device compute by the data loader) while
+// the device keeps a pure-XLA fallback.
+//
+// Outputs are -1-padded: coords rows -1, plan entries -1 (missing neighbor /
+// padded row). Active sets are first-come in input scan order, capped.
+
+namespace {
+
+struct Level {
+  std::unordered_map<int64_t, int32_t> map;
+  std::vector<int32_t> coords;  // [n, 3] zyx
+  int64_t d, h, w;
+};
+
+inline int64_t key_of(int64_t z, int64_t y, int64_t x, const Level& L) {
+  return (z * L.h + y) * L.w + x;
+}
+
+void subm_plan(const Level& L, int64_t cap, int32_t* out /* [27, cap] */) {
+  const int64_t n = static_cast<int64_t>(L.coords.size()) / 3;
+  int k = 0;
+  for (int dz = -1; dz <= 1; ++dz)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dx = -1; dx <= 1; ++dx, ++k) {
+        int32_t* row = out + static_cast<int64_t>(k) * cap;
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+          const int64_t z = L.coords[i * 3] + dz;
+          const int64_t y = L.coords[i * 3 + 1] + dy;
+          const int64_t x = L.coords[i * 3 + 2] + dx;
+          if (z < 0 || z >= L.d || y < 0 || y >= L.h || x < 0 || x >= L.w) {
+            row[i] = -1;
+            continue;
+          }
+          auto it = L.map.find(key_of(z, y, x, L));
+          row[i] = (it == L.map.end()) ? -1 : it->second;
+        }
+      }
+}
+
+void stride_plan(const Level& Lin, const Level& Lout, int64_t cap,
+                 int32_t* out /* [27, cap] */) {
+  const int64_t n = static_cast<int64_t>(Lout.coords.size()) / 3;
+  int k = 0;
+  for (int dz = -1; dz <= 1; ++dz)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dx = -1; dx <= 1; ++dx, ++k) {
+        int32_t* row = out + static_cast<int64_t>(k) * cap;
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+          const int64_t z = 2 * Lout.coords[i * 3] + dz;
+          const int64_t y = 2 * Lout.coords[i * 3 + 1] + dy;
+          const int64_t x = 2 * Lout.coords[i * 3 + 2] + dx;
+          if (z < 0 || z >= Lin.d || y < 0 || y >= Lin.h || x < 0 ||
+              x >= Lin.w) {
+            row[i] = -1;
+            continue;
+          }
+          auto it = Lin.map.find(key_of(z, y, x, Lin));
+          row[i] = (it == Lin.map.end()) ? -1 : it->second;
+        }
+      }
+}
+
+}  // namespace
+
+extern "C" {
+
+// coords0: [cap0, 3] int32 zyx (-1 rows = padding), level-0 active voxels.
+// caps: [4] per-level capacities. dims: [3] zyx of the full-res grid.
+// Outputs (preallocated, -1-filled by this function):
+//   coords_out[L]: [capL, 3]  (L = 1..3)
+//   subm_out[L]:   [27, capL] (L = 0..3)
+//   stride_out[L]: [27, capL] (L = 1..3)
+// Returns 0 on success; n_active written to n_out[4].
+int build_plans(const int32_t* coords0, const int64_t* caps,
+                const int64_t* dims, int32_t* subm0, int32_t* coords1,
+                int32_t* subm1, int32_t* stride1, int32_t* coords2,
+                int32_t* subm2, int32_t* stride2, int32_t* coords3,
+                int32_t* subm3, int32_t* stride3, int64_t* n_out) {
+  Level levels[4];
+  levels[0].d = dims[0];
+  levels[0].h = dims[1];
+  levels[0].w = dims[2];
+  for (int l = 1; l < 4; ++l) {
+    levels[l].d = (levels[l - 1].d - 1) / 2 + 1;
+    levels[l].h = (levels[l - 1].h - 1) / 2 + 1;
+    levels[l].w = (levels[l - 1].w - 1) / 2 + 1;
+  }
+  // level 0 actives from input coords
+  levels[0].map.reserve(static_cast<size_t>(caps[0]) * 2);
+  for (int64_t i = 0; i < caps[0]; ++i) {
+    const int32_t z = coords0[i * 3], y = coords0[i * 3 + 1],
+                  x = coords0[i * 3 + 2];
+    if (z < 0) continue;
+    levels[0].map.emplace(key_of(z, y, x, levels[0]),
+                          static_cast<int32_t>(levels[0].coords.size() / 3));
+    levels[0].coords.insert(levels[0].coords.end(), {z, y, x});
+  }
+  // downsample chain: candidates o in {c/2, (c+1)/2} per dim, first-come
+  for (int l = 1; l < 4; ++l) {
+    Level& up = levels[l - 1];
+    Level& lo = levels[l];
+    lo.map.reserve(static_cast<size_t>(caps[l]) * 2);
+    const int64_t n = static_cast<int64_t>(up.coords.size()) / 3;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t c[3] = {up.coords[i * 3], up.coords[i * 3 + 1],
+                            up.coords[i * 3 + 2]};
+      const int64_t lim[3] = {lo.d, lo.h, lo.w};
+      for (int b = 0; b < 8; ++b) {
+        int64_t o[3];
+        bool ok = true;
+        for (int d = 0; d < 3; ++d) {
+          o[d] = (b >> d & 1) ? (c[d] + 1) / 2 : c[d] / 2;
+          if (o[d] >= lim[d]) { ok = false; break; }
+        }
+        if (!ok) continue;
+        const int64_t kk = key_of(o[0], o[1], o[2], lo);
+        if (lo.map.count(kk)) continue;
+        if (static_cast<int64_t>(lo.coords.size()) / 3 >= caps[l]) continue;
+        lo.map.emplace(kk, static_cast<int32_t>(lo.coords.size() / 3));
+        lo.coords.insert(lo.coords.end(),
+                         {static_cast<int32_t>(o[0]),
+                          static_cast<int32_t>(o[1]),
+                          static_cast<int32_t>(o[2])});
+      }
+    }
+  }
+  // write outputs
+  int32_t* coord_bufs[4] = {nullptr, coords1, coords2, coords3};
+  int32_t* subm_bufs[4] = {subm0, subm1, subm2, subm3};
+  int32_t* stride_bufs[4] = {nullptr, stride1, stride2, stride3};
+  for (int l = 0; l < 4; ++l) {
+    const int64_t n = static_cast<int64_t>(levels[l].coords.size()) / 3;
+    n_out[l] = n;
+    if (l > 0) {
+      std::memcpy(coord_bufs[l], levels[l].coords.data(),
+                  sizeof(int32_t) * levels[l].coords.size());
+    }
+    subm_plan(levels[l], caps[l], subm_bufs[l]);
+    if (l > 0) stride_plan(levels[l - 1], levels[l], caps[l], stride_bufs[l]);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -62,6 +62,9 @@ class ModelConfig:
     compute_dtype: str = "float32"     # "bfloat16" for max MXU throughput
     dense_index: bool = True           # dense index maps + sort-free active
                                        # sets (TPU fast path) vs binary search
+    host_plans: bool = True            # let the C++ host runtime build the
+                                       # sparse-conv gather plans (rulebook)
+                                       # in the data loader when available
 
 
 @dataclasses.dataclass(frozen=True)

@@ -189,8 +189,27 @@ class KittiDataset:
             coords, self.anchors_bv, self.cfg.voxel.voxel_size,
             np.asarray(self.cfg.voxel.point_cloud_range),
             self.cfg.voxel.grid_size, self.cfg.data.anchor_area_threshold)
-        return dict(voxels=voxels, num_points=nums, coords=coords,
-                    anchors_mask=mask)
+        out = dict(voxels=voxels, num_points=nums, coords=coords,
+                   anchors_mask=mask)
+        out.update(build_host_plans(self.cfg, coords))
+        return out
+
+
+def build_host_plans(cfg: SASSDConfig, coords: np.ndarray
+                     ) -> Dict[str, np.ndarray]:
+    """C++ host rulebook for the sparse backbone (empty dict if disabled).
+
+    Runs in the data loader, pipelined with device compute — the TPU then
+    does zero active-set/neighbor-resolution work (see backbone.vxnet_apply).
+    """
+    if not cfg.model.host_plans:
+        return {}
+    from sassd_tpu.ops import native
+    if not native.available():
+        return {}
+    caps = (cfg.voxel.max_voxels,) + tuple(cfg.caps.level_caps[1:])
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape, caps)
+    return {f"plan_{k}": v for k, v in plans.items() if k != "n_active"}
 
 
 def collate(samples: List[Dict[str, np.ndarray]]):

@@ -104,7 +104,9 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
                       n_gt: int = 3):
     """A random device batch in the detector's input layout (tests/dryruns)."""
     from sassd_tpu.ops.voxelize import voxelize_np
+    from sassd_tpu.data.kitti import build_host_plans
 
+    plans: dict = {}
     voxels, coords, nums, gts = [], [], [], []
     pcr = np.asarray(cfg.voxel.point_cloud_range)
     for _ in range(batch_size):
@@ -117,6 +119,8 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
         voxels.append(v)
         coords.append(c)
         nums.append(np_)
+        for k, arr in build_host_plans(cfg, c).items():
+            plans.setdefault(k, []).append(arr)
         g = np.zeros((cfg.caps.max_gt, 7), np.float32)
         g[:n_gt, 0] = rng.uniform(pcr[0] + 1, pcr[3] * 0.8, n_gt)
         g[:n_gt, 1] = rng.uniform(pcr[1] * 0.6, pcr[4] * 0.6, n_gt)
@@ -126,7 +130,7 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
         gts.append(g)
     a = cfg.num_anchors
     gmask = np.arange(cfg.caps.max_gt) < n_gt
-    return {
+    out = {
         "voxels": np.stack(voxels),
         "num_points": np.stack(nums),
         "coords": np.stack(coords),
@@ -135,6 +139,8 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
         "gt_classes": gmask[None].repeat(batch_size, 0).astype(np.int32),
         "gt_valid": gmask[None].repeat(batch_size, 0),
     }
+    out.update({k: np.stack(v) for k, v in plans.items()})
+    return out
 
 
 def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,

@@ -77,17 +77,28 @@ def _subm_block(p, s, feats, plan, mask, train, cd):
     return feats, new_s
 
 
+def _host_plan(arr):
+    """[B, 27, cap] int32 (-1 = missing) -> SubmPlan."""
+    return sp.SubmPlan(jnp.maximum(arr, 0), arr >= 0)
+
+
 def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 train: bool, compute_dtype=jnp.float32,
-                dense_index: bool = True):
+                dense_index: bool = True, host_plans=None):
     """Run the sparse ladder.
 
     Args:
-      keys0:  [B, M0] sorted voxel keys (INVALID padded) at full resolution.
+      keys0:  [B, M0] voxel keys (INVALID padded) at full resolution
+        (sorted when dense_index=False).
       feats0: [B, M0, F] VFE features.
       dense_index: resolve neighbors through per-level dense index maps
         (one scatter + one gather; the TPU-fast path) instead of binary
         search over sorted keys.
+      host_plans: optional dict of C++-built gather plans (ops/native.py
+        build_plans_cpp, batched): subm0..3 [B,27,capL], stride1..3,
+        coords1..3 [B,capL,3]. When given, no active-set or neighbor work
+        happens on device at all — the spconv-rulebook division of labor,
+        with the host rulebook pipelined by the data loader.
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
        middles: list of (keys, feats, shape) per level, new_state)
@@ -98,11 +109,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     m0 = keys0 != sp.INVALID_KEY
 
     def index_map(keys, shape):
-        if not dense_index:
+        if host_plans is not None or not dense_index:
             return None
         return jax.vmap(lambda k: sp.build_index_map(k, shape))(keys)
 
-    def subm_plan(keys, shape, imap):
+    def subm_plan(level, keys, shape, imap):
+        if host_plans is not None:
+            return _host_plan(host_plans[f"subm{level}"])
         if imap is None:
             return jax.vmap(lambda k: sp.build_subm_plan(k, shape))(keys)
         return jax.vmap(lambda k, im: sp.build_subm_plan(k, shape,
@@ -110,19 +123,26 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                         )(keys, imap)
 
     imap0 = index_map(keys0, shape0)
-    plan0 = subm_plan(keys0, shape0, imap0)
+    plan0 = subm_plan(0, keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
         params["conv0"], state["conv0"], feats0, plan0, m0, train, cd)
 
-    def down(pfx, keys, x, shape, cap, mask, imap):
-        ds = (sp.downsample_keys_dense if dense_index else sp.downsample_keys)
-        out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
-        if imap is None:
-            plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(ik, ok, shape)
-                            )(keys, out_keys)
+    def down(level, pfx, keys, x, shape, cap, mask, imap):
+        out_shape = sp.out_shape_stride2(shape)
+        if host_plans is not None:
+            out_keys = jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
+                                )(host_plans[f"coords{level}"])
+            plan = _host_plan(host_plans[f"stride{level}"])
         else:
-            plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
-                ik, ok, shape, index_map=im))(keys, out_keys, imap)
+            ds = (sp.downsample_keys_dense if dense_index
+                  else sp.downsample_keys)
+            out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
+            if imap is None:
+                plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(
+                    ik, ok, shape))(keys, out_keys)
+            else:
+                plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
+                    ik, ok, shape, index_map=im))(keys, out_keys, imap)
         y = jax.vmap(lambda f, pl: sp.subm_conv(
             f, params[pfx]["conv0"]["w"], pl, cd))(x, plan)
         omask = out_keys != sp.INVALID_KEY
@@ -130,28 +150,28 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                              train=train, mask=omask)
         y = L.relu(y) * omask[..., None]
         new_state[pfx] = {"bn0": bs}
-        return out_keys, y, sp.out_shape_stride2(shape), omask
+        return out_keys, y, out_shape, omask
 
-    keys1, x, shape1, m1 = down("down0", keys0, x, shape0, level_caps[1], m0,
-                                imap0)
+    keys1, x, shape1, m1 = down(1, "down0", keys0, x, shape0, level_caps[1],
+                                m0, imap0)
     imap1 = index_map(keys1, shape1)
-    plan1 = subm_plan(keys1, shape1, imap1)
+    plan1 = subm_plan(1, keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
         params["conv1"], state["conv1"], x, plan1, m1, train, cd)
     mid0 = (keys1, x, shape1)
 
-    keys2, x, shape2, m2 = down("down1", keys1, x, shape1, level_caps[2], m1,
-                                imap1)
+    keys2, x, shape2, m2 = down(2, "down1", keys1, x, shape1, level_caps[2],
+                                m1, imap1)
     imap2 = index_map(keys2, shape2)
-    plan2 = subm_plan(keys2, shape2, imap2)
+    plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
         params["conv2"], state["conv2"], x, plan2, m2, train, cd)
     mid1 = (keys2, x, shape2)
 
-    keys3, x, shape3, m3 = down("down2", keys2, x, shape2, level_caps[3], m2,
-                                imap2)
+    keys3, x, shape3, m3 = down(3, "down2", keys2, x, shape2, level_caps[3],
+                                m2, imap2)
     imap3 = index_map(keys3, shape3)
-    plan3 = subm_plan(keys3, shape3, imap3)
+    plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
         params["conv3"], state["conv3"], x, plan3, m3, train, cd)
     mid2 = (keys3, x, shape3)

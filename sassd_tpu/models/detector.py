@@ -59,8 +59,11 @@ def detector_init(key, cfg: SASSDConfig):
     params["head"] = ssd_head.head_init(
         khead, m.bev_channels, m.num_class, m.num_anchor_per_loc,
         m.box_code_size)
+    # PSWarp rescoring is class-agnostic even for multi-class models
+    # (multi_cfg.py:31 uses num_class=1; "currently only support rescoring
+    # for class agnostic anchors", ssd_rotate_head.py:455)
     params["pswarp"], state["pswarp"] = pswarp.pswarp_init(
-        kwarp, m.bev_channels, m.num_class, m.num_parts)
+        kwarp, m.bev_channels, 1, m.num_parts)
     # aux point branch MLPs (cmn.py:27-29), all bias-free
     params["aux"] = {
         "point_fc": L.linear_init(kfc, 160, 64, bias=False),
@@ -102,10 +105,16 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
     points_mean = vfe[..., :3]
     points_valid = keys != sp.INVALID_KEY
 
+    host_plans = None
+    if "plan_subm0" in batch:
+        host_plans = {k[len("plan_"):]: v for k, v in batch.items()
+                      if k.startswith("plan_")}
+
     out_keys, out_feats, out_shape, middles, vx_state = backbone.vxnet_apply(
         params["vxnet"], state["vxnet"], keys, vfe,
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-        train=train, compute_dtype=cd, dense_index=cfg.model.dense_index)
+        train=train, compute_dtype=cd, dense_index=cfg.model.dense_index,
+        host_plans=host_plans)
 
     bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
     bev_map, conv6, bev_state = bev.bevnet_apply(

@@ -52,6 +52,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.points_in_rbbox.argtypes = [f32p, i64, i64, f32p, i64, u8p]
     lib.rotated_overlap.restype = None
     lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
+    lib.build_plans.restype = i64
+    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 10 + [i64p]
     _lib = lib
     return lib
 
@@ -100,6 +102,37 @@ def rotated_overlap_cpp(boxes: np.ndarray, qboxes: np.ndarray,
     if boxes.size and qboxes.size:
         lib.rotated_overlap(boxes, boxes.shape[0], qboxes, qboxes.shape[0],
                             criterion, out)
+    return out
+
+
+def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
+    """Host rulebook: full VxNet gather plans from level-0 voxel coords.
+
+    Args:
+      coords0: [cap0, 3] int32 zyx coords (-1 rows = padding).
+      sparse_shape: (D, H, W) of the full-res grid.
+      level_caps: 4 per-level capacities (cap0 == coords0.shape[0]).
+    Returns:
+      dict with keys subm0..subm3 ([27, capL] int32, -1 = missing),
+      stride1..stride3, coords1..coords3 ([capL, 3] int32, -1 padded).
+    """
+    lib = _load()
+    assert lib is not None
+    caps = np.asarray(level_caps, np.int64)
+    assert coords0.shape[0] == caps[0], (coords0.shape, caps)
+    dims = np.asarray(sparse_shape, np.int64)
+    out = {f"subm{l}": np.full((27, int(caps[l])), -1, np.int32)
+           for l in range(4)}
+    for l in range(1, 4):
+        out[f"coords{l}"] = np.full((int(caps[l]), 3), -1, np.int32)
+        out[f"stride{l}"] = np.full((27, int(caps[l])), -1, np.int32)
+    n_out = np.zeros(4, np.int64)
+    lib.build_plans(np.ascontiguousarray(coords0, np.int32), caps, dims,
+                    out["subm0"], out["coords1"], out["subm1"],
+                    out["stride1"], out["coords2"], out["subm2"],
+                    out["stride2"], out["coords3"], out["subm3"],
+                    out["stride3"], n_out)
+    out["n_active"] = n_out.astype(np.int32)
     return out
 
 

@@ -1,0 +1,97 @@
+"""C++ host rulebook parity vs the on-device sparse-conv path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sassd_tpu.models import backbone
+from sassd_tpu.ops import native
+from sassd_tpu.ops import sparse as sp
+from tiny_config import tiny_config
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def make_inputs(seed=0):
+    cfg = tiny_config()
+    rng = np.random.default_rng(seed)
+    # random active voxels in the tiny grid
+    d, h, w = cfg.sparse_shape
+    n = 40
+    lin = np.sort(rng.choice(d * h * w, n, replace=False))
+    cap = cfg.voxel.max_voxels
+    coords = np.full((cap, 3), -1, np.int32)
+    coords[:n, 0] = lin // (h * w)
+    coords[:n, 1] = (lin // w) % h
+    coords[:n, 2] = lin % w
+    return cfg, coords, n
+
+
+def test_plans_match_device_active_sets():
+    cfg, coords, n = make_inputs()
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    keys0 = sp.coords_to_keys(jnp.asarray(coords), cfg.sparse_shape)
+    # level-1 active set must equal the device computation (as a set)
+    dev_keys1 = np.asarray(sp.downsample_keys(
+        keys0, cfg.sparse_shape, cfg.caps.level_caps[1]))
+    shape1 = sp.out_shape_stride2(cfg.sparse_shape)
+    cpp_keys1 = np.asarray(sp.coords_to_keys(
+        jnp.asarray(plans["coords1"]), shape1))
+    assert (set(dev_keys1[dev_keys1 != sp.INVALID_KEY].tolist())
+            == set(cpp_keys1[cpp_keys1 != sp.INVALID_KEY].tolist()))
+
+
+def test_subm_plan_matches_device():
+    cfg, coords, n = make_inputs(1)
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    keys0 = sp.coords_to_keys(jnp.asarray(coords), cfg.sparse_shape)
+    dev = sp.build_subm_plan(keys0, cfg.sparse_shape)
+    # same rows (level-0 order is identical: input scan order)
+    got_idx = plans["subm0"]
+    got_found = got_idx >= 0
+    np.testing.assert_array_equal(np.asarray(dev.found)[:, :n],
+                                  got_found[:, :n])
+    di = np.asarray(dev.idx)
+    for k in range(27):
+        f = got_found[k, :n]
+        np.testing.assert_array_equal(di[k, :n][f], got_idx[k, :n][f])
+
+
+def test_vxnet_host_plans_match_device_path():
+    """Full ladder: host-plan outputs == device-path outputs as key->feature
+    maps (row order differs between the two active-set computations)."""
+    cfg, coords, n = make_inputs(2)
+    rng = np.random.default_rng(3)
+    params, state = backbone.vxnet_init(jax.random.PRNGKey(0), 4)
+    feats = rng.normal(size=(1, coords.shape[0], 4)).astype(np.float32)
+    feats[0, n:] = 0
+    keys0 = sp.coords_to_keys(jnp.asarray(coords), cfg.sparse_shape)[None]
+
+    out_dev = backbone.vxnet_apply(
+        params, state, keys0, jnp.asarray(feats),
+        sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
+        train=False, dense_index=True)
+
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    host_plans = {k: jnp.asarray(v[None]) for k, v in plans.items()
+                  if k != "n_active"}
+    out_host = backbone.vxnet_apply(
+        params, state, keys0, jnp.asarray(feats),
+        sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
+        train=False, host_plans=host_plans)
+
+    def as_map(keys, feats):
+        keys = np.asarray(keys)[0]
+        feats = np.asarray(feats)[0]
+        return {int(k): feats[i] for i, k in enumerate(keys)
+                if k != sp.INVALID_KEY}
+
+    m_dev = as_map(out_dev[0], out_dev[1])
+    m_host = as_map(out_host[0], out_host[1])
+    assert m_dev.keys() == m_host.keys()
+    for k in m_dev:
+        np.testing.assert_allclose(m_dev[k], m_host[k], atol=2e-4)
