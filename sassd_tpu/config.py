@@ -49,6 +49,8 @@ class Caps:
 class ModelConfig:
     num_class: int = 1
     num_input_features: int = 4
+    vfe_type: str = "mean"             # "mean" (SimpleVoxel) | "pointnet"
+                                       # (VFELayer-style opt-in encoder)
     bev_channels: int = 256
     num_anchor_per_loc: int = 2        # rotations per class
     box_code_size: int = 7
@@ -65,6 +67,10 @@ class ModelConfig:
     host_plans: bool = True            # let the C++ host runtime build the
                                        # sparse-conv gather plans (rulebook)
                                        # in the data loader when available
+    dense_tail: bool = True            # compute backbone levels 2-3 as
+                                       # masked dense convs on the MXU
+                                       # (exact subm semantics, much faster
+                                       # than gathers at those resolutions)
 
 
 @dataclasses.dataclass(frozen=True)

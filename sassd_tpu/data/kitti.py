@@ -195,6 +195,41 @@ class KittiDataset:
         return out
 
 
+class RawScanDataset:
+    """Inference over a directory of raw .bin scans (KittiVideo analog,
+    kitti.py:356-403): no labels, one shared calibration."""
+
+    def __init__(self, cfg: SASSDConfig, scan_dir: str,
+                 calib_file: Optional[str] = None,
+                 img_shape=_DEFAULT_IMAGE_SHAPE):
+        self.cfg = cfg
+        self.files = sorted(Path(scan_dir).glob("*.bin"))
+        if calib_file is not None:
+            self.calib = calib_lib.Calibration(calib_file)
+        else:
+            from .synthetic import default_calib
+            self.calib = default_calib()
+        self.img_shape = img_shape
+        self.anchors, self.anchors_bv = build_anchors(cfg)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        points = calib_lib.read_lidar(self.files[idx])
+        ds = KittiDataset.__new__(KittiDataset)   # reuse the voxelize helper
+        ds.cfg, ds.anchors_bv = self.cfg, self.anchors_bv
+        sample = KittiDataset._voxelize_and_mask(ds, points)
+        g = self.cfg.caps.max_gt
+        sample.update(
+            gt_boxes=np.zeros((g, 7), np.float32),
+            gt_classes=np.zeros((g,), np.int32),
+            gt_valid=np.zeros((g,), bool),
+            meta=dict(sample_idx=idx, calib=self.calib,
+                      img_shape=self.img_shape))
+        return sample
+
+
 def build_host_plans(cfg: SASSDConfig, coords: np.ndarray
                      ) -> Dict[str, np.ndarray]:
     """C++ host rulebook for the sparse backbone (empty dict if disabled).

@@ -30,6 +30,56 @@ def vfe_mean(voxels: jnp.ndarray, num_points: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(voxels, axis=-2) / denom
 
 
+# -- PointNet-style VFE (the reference's VFELayer/VoxelFeatNet,
+#    vxnet.py:7-97 — registered but unused by its configs; provided for
+#    capability parity as an opt-in encoder) --------------------------------
+
+def vfe_pointnet_init(key, num_input_features: int, units=(32, 64),
+                      out_features: int = 4):
+    """Per-point MLP + masked max-pool VFE (VFELayer semantics). The final
+    linear maps back to the backbone's input width so the sparse ladder is
+    unchanged."""
+    ks = jax.random.split(key, len(units) + 1)
+    params, state = {}, {}
+    cin = num_input_features + 3          # + centroid-relative offsets
+    for i, u in enumerate(units):
+        params[f"fc{i}"] = L.linear_init(ks[i], cin, u)
+        params[f"bn{i}"], state[f"bn{i}"] = L.bn_init(u)
+        cin = 2 * u                       # concat(point, pooled)
+    params["out"] = L.linear_init(ks[-1], cin, out_features)
+    return params, state
+
+
+def vfe_pointnet_apply(params, state, voxels, num_points, *, train: bool):
+    """[B,V,T,F] -> ([B,V,out], new_state): pointwise MLP with masked
+    max-pooling over the point slots (VFELayer, vxnet.py:7-42: linear ->
+    BN over points -> ReLU -> masked max, concat pooled back per point)."""
+    t = voxels.shape[-2]
+    denom = jnp.maximum(num_points, 1).astype(voxels.dtype)[..., None]
+    mean_xyz = jnp.sum(voxels[..., :3], axis=-2) / denom       # [B,V,3]
+    rel = voxels[..., :3] - mean_xyz[..., None, :]
+    x = jnp.concatenate([voxels, rel], axis=-1)
+    slot_valid = jnp.arange(t)[None, None, :] < num_points[..., None]
+
+    def masked_max(y):
+        m = jnp.max(jnp.where(slot_valid[..., None], y, -jnp.inf), axis=-2)
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+
+    new_state = {}
+    i = 0
+    while f"fc{i}" in params:
+        x = L.linear(params[f"fc{i}"], x)
+        x, new_state[f"bn{i}"] = L.batch_norm(
+            params[f"bn{i}"], state[f"bn{i}"], x, train=train,
+            mask=slot_valid)
+        x = L.relu(x)
+        pooled = masked_max(x)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(pooled[..., None, :], x.shape)], axis=-1)
+        i += 1
+    return L.linear(params["out"], masked_max(x)), new_state
+
+
 # ---------------------------------------------------------------------------
 # VxNet
 # ---------------------------------------------------------------------------
@@ -84,7 +134,8 @@ def _host_plan(arr):
 
 def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 train: bool, compute_dtype=jnp.float32,
-                dense_index: bool = True, host_plans=None):
+                dense_index: bool = True, host_plans=None,
+                dense_tail: bool = True):
     """Run the sparse ladder.
 
     Args:
@@ -162,6 +213,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
 
     keys2, x, shape2, m2 = down(2, "down1", keys1, x, shape1, level_caps[2],
                                 m1, imap1)
+
     imap2 = index_map(keys2, shape2)
     plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
@@ -170,6 +222,82 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
 
     keys3, x, shape3, m3 = down(3, "down2", keys2, x, shape2, level_caps[3],
                                 m2, imap2)
+
+    if dense_tail:
+        # Level 3 as MASKED DENSE convs. The grid is tiny ([5,200,176] for
+        # the car config) and D=5 folds into channels, so each 3x3x3 subm
+        # conv becomes ONE fused 2D MXU conv over [B,H,W,D*C] with z-banded
+        # weights — far faster than gathering ~276k rows per layer.
+        # conv -> multiply by the occupancy mask IS submanifold semantics,
+        # and masked BN sees exactly the active rows, so this is numerically
+        # the sparse path (modulo reduction order).
+        d3 = shape3[0]
+        xd = jax.vmap(lambda k, f: sp.to_dense(k, f, shape3))(keys3, x)
+        occ3 = jax.vmap(lambda k: sp.to_dense(
+            k, jnp.ones((k.shape[0], 1), jnp.float32), shape3))(keys3)
+        occ3 = occ3[..., 0] > 0                                # [B,D,H,W]
+        b = xd.shape[0]
+        # [B,D,H,W,C] -> [B,H,W,D*C]
+        xf = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
+            b, shape3[1], shape3[2], -1)
+        occ_f = jnp.transpose(occ3, (0, 2, 3, 1))              # [B,H,W,D]
+
+        def zbanded(w27):                                      # -> [3,3,DC,DC]
+            k, cin, cout = w27.shape
+            w = w27.reshape(3, 3, 3, cin, cout)                # (dz,dy,dx)
+            cols = []
+            for zo in range(d3):
+                rows = []
+                for zi in range(d3):
+                    dz = zi - zo
+                    if -1 <= dz <= 1:
+                        rows.append(w[dz + 1])                 # [3,3,cin,cout]
+                    else:
+                        rows.append(jnp.zeros((3, 3, cin, cout), w.dtype))
+                cols.append(jnp.concatenate(rows, axis=2))     # [3,3,D*cin,cout]
+            return jnp.concatenate(cols, axis=3)               # [3,3,DC,DC]
+
+        def dense_l3_block(prefix, xf):
+            p, s = params[prefix], state[prefix]
+            bs = {}
+            n = sum(1 for k in p if k.startswith("conv"))
+            for i in range(n):
+                cdim = p[f"conv{i}"]["w"].shape[2]
+                xf = L.conv2d({"w": zbanded(p[f"conv{i}"]["w"])}, xf,
+                              compute_dtype=cd)
+                # BN per true channel with the per-(z,y,x) mask
+                x5 = xf.reshape(b, shape3[1], shape3[2], d3, cdim)
+                x5 = x5 * occ_f[..., None]
+                x5, bs[f"bn{i}"] = L.batch_norm(
+                    p[f"bn{i}"], s[f"bn{i}"], x5, train=train, mask=occ_f)
+                x5 = L.relu(x5) * occ_f[..., None]
+                xf = x5.reshape(b, shape3[1], shape3[2], -1)
+            new_state[prefix] = bs
+            return xf
+
+        xf = dense_l3_block("conv3", xf)
+
+        # extra 1x1x1 conv = per-z channel matmul + BN + ReLU
+        x5 = xf.reshape(b, shape3[1], shape3[2], d3, 64)
+        x5 = jnp.dot(x5.astype(cd), params["extra"]["conv0"]["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+        x5 = x5 * occ_f[..., None]
+        x5, bs = L.batch_norm(params["extra"]["bn0"], state["extra"]["bn0"],
+                              x5, train=train, mask=occ_f)
+        x5 = L.relu(x5) * occ_f[..., None]
+        new_state["extra"] = {"bn0": bs}
+        out_dense = jnp.transpose(x5, (0, 3, 1, 2, 4))         # [B,D,H,W,C]
+
+        if train:
+            # mid2 = conv3-block output (pre-extra), like the sparse path
+            conv3_dense = jnp.transpose(
+                xf.reshape(b, shape3[1], shape3[2], d3, 64), (0, 3, 1, 2, 4))
+            mid2 = _gather_mid(keys3, conv3_dense, shape3)
+        else:
+            mid2 = None
+        middles = [mid0, mid1, mid2] if train else [mid0, mid1, None]
+        return None, out_dense, shape3, middles, new_state
+
     imap3 = index_map(keys3, shape3)
     plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
@@ -184,6 +312,26 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     new_state["extra"] = {"bn0": bs}
 
     return keys3, x, shape3, [mid0, mid1, mid2], new_state
+
+
+def _gather_mid(keys, dense, shape):
+    """Extract sparse (keys, feats) rows from a dense level (aux branch)."""
+    def one(k, xd):
+        c = sp.keys_to_coords(k, shape)
+        z = jnp.where(c[:, 0] >= 0, c[:, 0], 0)
+        f = xd[z, jnp.maximum(c[:, 1], 0), jnp.maximum(c[:, 2], 0)]
+        return jnp.where((c[:, 0] >= 0)[:, None], f, 0.0)
+    return keys, jax.vmap(one)(keys, dense), shape
+
+
+def _occ_keys(host_plans, level, keys_prev, shape_prev, cap, dense_index):
+    """Active-key list for a dense level (train-time aux needs rows)."""
+    if host_plans is not None:
+        out_shape = sp.out_shape_stride2(shape_prev)
+        return jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
+                        )(host_plans[f"coords{level}"])
+    ds = sp.downsample_keys_dense if dense_index else sp.downsample_keys
+    return jax.vmap(lambda k: ds(k, shape_prev, cap))(keys_prev)
 
 
 def densify_bev(keys: jnp.ndarray, feats: jnp.ndarray,

@@ -54,6 +54,10 @@ def detector_init(key, cfg: SASSDConfig):
     params, state = {}, {}
     params["vxnet"], state["vxnet"] = backbone.vxnet_init(
         kvx, m.num_input_features)
+    if m.vfe_type == "pointnet":
+        kvfe = jax.random.split(kvx)[1]
+        params["vfe"], state["vfe"] = backbone.vfe_pointnet_init(
+            kvfe, m.num_input_features, out_features=m.num_input_features)
     params["bevnet"], state["bevnet"] = bev.bevnet_init(
         kbev, bev_in, m.bev_channels)
     params["head"] = ssd_head.head_init(
@@ -94,6 +98,14 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
                   ) -> SpineOut:
     cd = _compute_dtype(cfg)
     vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])  # [B,V,F]
+    vfe_state = {}
+    if cfg.model.vfe_type == "pointnet":
+        feats_pn, vfe_state = backbone.vfe_pointnet_apply(
+            params["vfe"], state["vfe"], batch["voxels"],
+            batch["num_points"], train=train)
+        points_mean_src = vfe[..., :3]      # centroids always from raw mean
+        vfe = feats_pn
+    
     keys = jax.vmap(lambda c: sp.coords_to_keys(c, cfg.sparse_shape)
                     )(batch["coords"])
     if not cfg.model.dense_index:
@@ -102,7 +114,10 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
         keys = jnp.take_along_axis(keys, perm, axis=1)
         vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
 
-    points_mean = vfe[..., :3]
+    if cfg.model.vfe_type == "pointnet":
+        points_mean = points_mean_src
+    else:
+        points_mean = vfe[..., :3]
     points_valid = keys != sp.INVALID_KEY
 
     host_plans = None
@@ -114,9 +129,14 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
         params["vxnet"], state["vxnet"], keys, vfe,
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
         train=train, compute_dtype=cd, dense_index=cfg.model.dense_index,
-        host_plans=host_plans)
+        host_plans=host_plans, dense_tail=cfg.model.dense_tail)
 
-    bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
+    if out_keys is None:                     # dense-tail backbone output
+        b, d, h, w, c = out_feats.shape
+        bev_in = jnp.transpose(out_feats, (0, 2, 3, 1, 4)).reshape(
+            b, h, w, d * c)
+    else:
+        bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
     bev_map, conv6, bev_state = bev.bevnet_apply(
         params["bevnet"], state["bevnet"], bev_in, train=train,
         compute_dtype=cd)
@@ -124,6 +144,8 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
     new_state = dict(state)
     new_state["vxnet"] = vx_state
     new_state["bevnet"] = bev_state
+    if vfe_state:
+        new_state["vfe"] = vfe_state
     return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
                     new_state)
 

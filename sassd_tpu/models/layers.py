@@ -127,3 +127,47 @@ def batch_norm(p, s, x, *, train: bool, mask: Optional[jnp.ndarray] = None,
 
 def relu(x):
     return jnp.maximum(x, 0.0)
+
+
+def conv3d(weight_27: jnp.ndarray, x: jnp.ndarray, stride: int = 1,
+           compute_dtype=None):
+    """Dense 3D conv (NDHWC, pad 1) sharing the sparse [27,Cin,Cout] weights.
+
+    The sparse engine's kernel-offset order (dz,dy,dx row-major over {-1,0,1},
+    ops/sparse.py _offsets) is exactly the DHWIO spatial raveling, so the
+    same parameters drive both the gather-GEMM and the dense formulation.
+
+    Implemented as a z-decomposition into three 2D convs (XLA's native 3D
+    conv path materializes huge im2col buffers on TPU; the folded
+    [B*D, H, W, C] 2D convs ride the standard MXU conv lane).
+    """
+    k, cin, cout = weight_27.shape
+    w = weight_27.reshape(3, 3, 3, cin, cout)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, d, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    d_out = (d - 1) // stride + 1
+    out = None
+    for kz in range(3):
+        xs = xp[:, kz::stride][:, :d_out]                 # [B, D_out, H, W, C]
+        y = jax.lax.conv_general_dilated(
+            xs.reshape(b * d_out, h, wd, c), w[kz],
+            window_strides=(stride, stride), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    ho, wo = out.shape[1], out.shape[2]
+    return out.reshape(b, d_out, ho, wo, cout)
+
+
+def maxpool3d_stride2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 / stride 2 / pad 1 max-pool over NDHWC (bool or float)."""
+    was_bool = x.dtype == jnp.bool_
+    if was_bool:
+        x = x.astype(jnp.float32)
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    return y > 0 if was_bool else y

@@ -97,10 +97,12 @@ def pswarp_loss(scores, boxes, valid, gt_boxes, gt_valid, *,
 
 def rescore_and_nms(boxes, scores, labels, valid, *,
                     score_thr: float = 0.3, nms_iou_thr: float = 0.1,
-                    max_det: int = 100):
+                    max_det: int = 100, nms_pre: int = 256):
     """Final detections (get_rescore_bboxes, ssd_rotate_head.py:487-533).
 
-    sigmoid -> score threshold -> rotated NMS -> top max_det; static shapes.
+    sigmoid -> score threshold -> top nms_pre -> rotated NMS -> top max_det;
+    static shapes. (The reference caps NMS input with nms_pre=2000,
+    car_cfg.py:75; 256 is ample for the <=100-detection regime here.)
     Returns (det_boxes [B,D,7], det_scores [B,D], det_labels [B,D],
     det_valid [B,D]).
     """
@@ -108,6 +110,9 @@ def rescore_and_nms(boxes, scores, labels, valid, *,
     keep_in = valid & (probs > score_thr)
 
     def one(bx, sc, lb, ok):
+        if nms_pre < sc.shape[0]:
+            vals, sel = jax.lax.top_k(jnp.where(ok, sc, -1.0), nms_pre)
+            bx, lb, sc, ok = bx[sel], lb[sel], sc[sel], ok[sel] & (vals > 0)
         order, keep = riou.rotate_nms(
             riou.boxes3d_to_bev5(bx), sc, nms_iou_thr, valid=ok)
         # kept boxes first, sorted by score

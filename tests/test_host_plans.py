@@ -73,7 +73,7 @@ def test_vxnet_host_plans_match_device_path():
     out_dev = backbone.vxnet_apply(
         params, state, keys0, jnp.asarray(feats),
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-        train=False, dense_index=True)
+        train=False, dense_index=True, dense_tail=False)
 
     plans = native.build_plans_cpp(coords, cfg.sparse_shape,
                                    cfg.caps.level_caps)
@@ -82,7 +82,7 @@ def test_vxnet_host_plans_match_device_path():
     out_host = backbone.vxnet_apply(
         params, state, keys0, jnp.asarray(feats),
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
-        train=False, host_plans=host_plans)
+        train=False, host_plans=host_plans, dense_tail=False)
 
     def as_map(keys, feats):
         keys = np.asarray(keys)[0]
@@ -95,3 +95,39 @@ def test_vxnet_host_plans_match_device_path():
     assert m_dev.keys() == m_host.keys()
     for k in m_dev:
         np.testing.assert_allclose(m_dev[k], m_host[k], atol=2e-4)
+
+
+def test_dense_tail_matches_sparse_path():
+    """Masked-dense levels 2-3 must reproduce the sparse path exactly."""
+    cfg, coords, n = make_inputs(5)
+    rng = np.random.default_rng(7)
+    params, state = backbone.vxnet_init(jax.random.PRNGKey(1), 4)
+    feats = rng.normal(size=(1, coords.shape[0], 4)).astype(np.float32)
+    feats[0, n:] = 0
+    keys0 = sp.coords_to_keys(jnp.asarray(coords), cfg.sparse_shape)[None]
+
+    def run(dense_tail, train):
+        return backbone.vxnet_apply(
+            params, state, keys0, jnp.asarray(feats),
+            sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
+            train=train, dense_index=True, dense_tail=dense_tail)
+
+    ks, fs, shape3, mids_s, _ = run(False, True)
+    kd, fd, shape3d, mids_d, _ = run(True, True)
+    assert kd is None and shape3 == shape3d
+    # sparse output densified == dense-tail output
+    dense_from_sparse = np.asarray(
+        jax.vmap(lambda k, f: sp.to_dense(k, f, shape3))(ks, fs))
+    np.testing.assert_allclose(np.asarray(fd), dense_from_sparse, atol=3e-4)
+    # middles (aux branch inputs) match as key->feature maps
+    for (mk_s, mf_s, msh_s), (mk_d, mf_d, msh_d) in zip(mids_s[1:], mids_d[1:]):
+        assert msh_s == msh_d
+        m_s = {int(k): np.asarray(mf_s)[0][i]
+               for i, k in enumerate(np.asarray(mk_s)[0])
+               if k != sp.INVALID_KEY}
+        m_d = {int(k): np.asarray(mf_d)[0][i]
+               for i, k in enumerate(np.asarray(mk_d)[0])
+               if k != sp.INVALID_KEY}
+        assert m_s.keys() == m_d.keys()
+        for k in m_s:
+            np.testing.assert_allclose(m_s[k], m_d[k], atol=3e-4)

@@ -65,3 +65,20 @@ def test_multiclass_train_and_test(setup):
     labels = np.asarray(dets["labels"])
     assert labels.min() >= 0 and labels.max() <= 1
     assert dets["boxes"].shape[-1] == 7
+
+
+def test_pointnet_vfe_path():
+    import dataclasses as dc
+    base = tiny_config()
+    cfg = dc.replace(base, model=dc.replace(base.model, vfe_type="pointnet"))
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    assert "vfe" in params
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(1)).items()}
+    losses, new_state = detector.forward_train(params, state, batch,
+                                               anchors, cfg)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert "vfe" in new_state
+    dets = detector.forward_test(params, state, batch, anchors, cfg)
+    assert np.all(np.isfinite(np.asarray(dets["boxes"])))

@@ -62,6 +62,9 @@ def main():
         "gt_classes": jnp.zeros((1, cfg.caps.max_gt), jnp.int32),
         "gt_valid": jnp.zeros((1, cfg.caps.max_gt), bool),
     }
+    from sassd_tpu.data.kitti import build_host_plans
+    for k, arr in build_host_plans(cfg, c).items():
+        batch[k] = jnp.asarray(arr[None])
     log("occupied voxels:", int((n > 0).sum()))
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
     anchors = jnp.asarray(build_anchors(cfg)[0])
@@ -127,7 +130,20 @@ def main():
         log("one subm conv16 L0:", timeit(conv_fn, f16, plan0) * 1e3, "ms")
 
     if "vxnet" in which:
-        for dense in (False, True):
+        hp = {k[len("plan_"):]: v for k, v in batch.items()
+              if k.startswith("plan_")}
+
+        @jax.jit
+        def vx_host(params, state, keys, vfe, hp):
+            return backbone.vxnet_apply(
+                params["vxnet"], state["vxnet"], keys, vfe,
+                sparse_shape=cfg.sparse_shape,
+                level_caps=cfg.caps.level_caps,
+                train=False, host_plans=hp)[1]
+        log("vxnet host plans:",
+            timeit(vx_host, params, state, keys, vfe, hp, warmup=1, iters=5) * 1e3,
+            "ms")
+        for dense in (True,):
             @jax.jit
             def vx(params, state, keys, vfe, dense=dense):
                 return backbone.vxnet_apply(
