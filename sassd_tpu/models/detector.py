@@ -94,8 +94,11 @@ def _compute_dtype(cfg: SASSDConfig):
     return jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
 
 
-def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
-                  ) -> SpineOut:
+def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
+                  bev_sharding=None) -> SpineOut:
+    """bev_sharding: optional jax.sharding.NamedSharding for the dense BEV
+    stage (spatial sharding over a mesh axis; XLA inserts the halo exchanges
+    for the 3x3 convolutions). See parallel/spatial.py."""
     cd = _compute_dtype(cfg)
     vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])  # [B,V,F]
     vfe_state = {}
@@ -137,9 +140,14 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool
             b, h, w, d * c)
     else:
         bev_in = backbone.densify_bev(out_keys, out_feats, out_shape)
+    if bev_sharding is not None:
+        bev_in = jax.lax.with_sharding_constraint(bev_in, bev_sharding)
     bev_map, conv6, bev_state = bev.bevnet_apply(
         params["bevnet"], state["bevnet"], bev_in, train=train,
         compute_dtype=cd)
+    if bev_sharding is not None:
+        bev_map = jax.lax.with_sharding_constraint(bev_map, bev_sharding)
+        conv6 = jax.lax.with_sharding_constraint(conv6, bev_sharding)
 
     new_state = dict(state)
     new_state["vxnet"] = vx_state
@@ -227,10 +235,11 @@ def _assigner_thresholds(cfg: SASSDConfig) -> Tuple[Tuple[float, ...], ...]:
     return matched, unmatched
 
 
-def forward_train(params, state, batch, anchors, cfg: SASSDConfig
-                  ) -> Tuple[Dict[str, jnp.ndarray], dict]:
+def forward_train(params, state, batch, anchors, cfg: SASSDConfig,
+                  bev_sharding=None) -> Tuple[Dict[str, jnp.ndarray], dict]:
     """Training forward: all losses (single_stage.py:75-108)."""
-    spine = forward_spine(params, state, batch, cfg, train=True)
+    spine = forward_spine(params, state, batch, cfg, train=True,
+                          bev_sharding=bev_sharding)
 
     point_cls, point_reg = aux_forward(params, spine, cfg)
     losses = aux_loss(point_cls, point_reg, spine, batch)
@@ -267,12 +276,14 @@ def forward_train(params, state, batch, anchors, cfg: SASSDConfig
     return losses, new_state
 
 
-def forward_test(params, state, batch, anchors, cfg: SASSDConfig):
+def forward_test(params, state, batch, anchors, cfg: SASSDConfig,
+                 bev_sharding=None):
     """Inference: detections (single_stage.py:110-131).
 
     Returns dict(boxes [B,D,7], scores [B,D], labels [B,D], valid [B,D]).
     """
-    spine = forward_spine(params, state, batch, cfg, train=False)
+    spine = forward_spine(params, state, batch, cfg, train=False,
+                          bev_sharding=bev_sharding)
     outs = ssd_head.head_apply(params["head"], spine.bev_map,
                                cfg.model.num_class, cfg.model.box_code_size)
     ga = ssd_head.get_guided_anchors(
