@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from . import boxes as box_ops
@@ -72,7 +73,10 @@ def create_targets(anchors: jnp.ndarray,
     if anchors_mask is None:
         anchors_mask = jnp.ones((a,), dtype=bool)
 
-    overlap = similarity_fn(anchors, gt_boxes)                       # [A, G]
+    # Assignment is a non-differentiable decision (the reference's CUDA IoU
+    # has no backward either); stop_gradient also keeps autodiff away from
+    # the Pallas overlap kernel, which defines no VJP.
+    overlap = jax.lax.stop_gradient(similarity_fn(anchors, gt_boxes))  # [A, G]
     pair_ok = anchors_mask[:, None] & gt_valid[None, :]
     overlap = jnp.where(pair_ok, overlap, -1.0)
 

@@ -136,13 +136,17 @@ def _riou_kernel(a_ref, b_ref, o_ref, *, criterion: int):
         o_ref[:, :] = inter / jnp.maximum(denom, 1e-7)
 
 
-@functools.partial(jax.jit, static_argnames=("criterion",))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
 def rotate_overlap_pallas(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
                           criterion: int = 2) -> jnp.ndarray:
     """Pairwise rotated overlap/IoU: [N,5] x [M,5] -> [N,M] float32.
 
     criterion: 2 raw intersection area, -1 IoU, 0 inter/area_a, 1 inter/area_b.
     Inputs are zero-padded to tile multiples (zero boxes give zero overlap).
+
+    Declared non-differentiable (zero tangent): every consumer uses the
+    overlaps for discrete decisions (target assignment, NMS), matching the
+    reference whose CUDA/numba IoU kernels define no backward.
     """
     n, m = boxes_a.shape[0], boxes_b.shape[0]
     pad_n = (-n) % TILE_A
@@ -169,3 +173,9 @@ def rotate_overlap_pallas(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
         interpret=interpret,
     )(a, b)
     return out[:n, :m]
+
+
+@rotate_overlap_pallas.defjvp
+def _rotate_overlap_jvp(criterion, primals, tangents):
+    out = rotate_overlap_pallas(*primals, criterion)
+    return out, jnp.zeros_like(out)

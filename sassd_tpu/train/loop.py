@@ -77,8 +77,14 @@ class LogBuffer:
 def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 total_epochs: Optional[int] = None, mesh=None,
                 logger: Optional[logging.Logger] = None,
-                resume: bool = True):
-    """Full training run. Returns (params, state, final_step)."""
+                resume: bool = True, epoch_callback=None,
+                eval_interval: Optional[int] = None):
+    """Full training run. Returns (params, state, final_step).
+
+    epoch_callback(epoch, params, state): optional hook run after each
+    checkpointed epoch (the analog of the reference's KittiEvalmAPHook,
+    eval_hooks.py:190+ — which is bitrotted there); eval_interval gates it.
+    """
     logger = logger or logging.getLogger("sassd")
     work_dir = work_dir or cfg.work_dir
     total_epochs = total_epochs or cfg.train.total_epochs
@@ -141,4 +147,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                                  jax.device_get(opt_state),
                                  max_keep=cfg.train.max_ckpt_keep)
             logger.info("saved %s", path)
+        if (epoch_callback is not None
+                and (epoch + 1) % (eval_interval or 1) == 0):
+            epoch_callback(epoch, params, state)
     return params, state, step

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="train on generated synthetic scenes (no KITTI)")
+    ap.add_argument("--eval_interval", type=int, default=None,
+                    help="run val evaluation every N epochs")
     args = ap.parse_args()
 
     import jax
@@ -65,8 +67,22 @@ def main():
 
     dataset = KittiDataset(cfg, data_root, split)
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+
+    epoch_callback = None
+    if args.eval_interval:
+        from sassd_tpu.inference import evaluate
+        val_split = os.path.join(os.path.dirname(split), "val.txt")
+        val_ds = KittiDataset(cfg, data_root, val_split, test_mode=True)
+
+        def epoch_callback(epoch, params, state):
+            _res, text = evaluate(cfg, val_ds, params, state,
+                                  os.path.join(data_root, "label_2"))
+            logger.info("eval after epoch %d:\n%s", epoch, text)
+
     train_model(cfg, dataset, work_dir=cfg.work_dir,
-                total_epochs=args.epochs, mesh=mesh, logger=logger)
+                total_epochs=args.epochs, mesh=mesh, logger=logger,
+                epoch_callback=epoch_callback,
+                eval_interval=args.eval_interval)
 
 
 if __name__ == "__main__":
