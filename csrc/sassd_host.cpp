@@ -289,12 +289,17 @@ extern "C" {
 //   coords_out[L]: [capL, 3]  (L = 1..3)
 //   subm_out[L]:   [27, capL] (L = 0..3)
 //   stride_out[L]: [27, capL] (L = 1..3)
+//   aux_out[L]:    [27, cap0] (L = 1..3) — for each level-0 voxel, the rows
+//                  of the 3x3x3 neighborhood of its level-L parent cell
+//                  (drives the aux branch's neighborhood 3-NN interpolation)
 // Returns 0 on success; n_active written to n_out[4].
 int build_plans(const int32_t* coords0, const int64_t* caps,
                 const int64_t* dims, int32_t* subm0, int32_t* coords1,
                 int32_t* subm1, int32_t* stride1, int32_t* coords2,
                 int32_t* subm2, int32_t* stride2, int32_t* coords3,
-                int32_t* subm3, int32_t* stride3, int64_t* n_out) {
+                int32_t* subm3, int32_t* stride3,
+                int32_t* aux1, int32_t* aux2, int32_t* aux3,
+                int64_t* n_out) {
   Level levels[4];
   levels[0].d = dims[0];
   levels[0].h = dims[1];
@@ -349,6 +354,7 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
   int32_t* coord_bufs[4] = {nullptr, coords1, coords2, coords3};
   int32_t* subm_bufs[4] = {subm0, subm1, subm2, subm3};
   int32_t* stride_bufs[4] = {nullptr, stride1, stride2, stride3};
+  int32_t* aux_bufs[4] = {nullptr, aux1, aux2, aux3};
   for (int l = 0; l < 4; ++l) {
     const int64_t n = static_cast<int64_t>(levels[l].coords.size()) / 3;
     n_out[l] = n;
@@ -358,6 +364,29 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
     }
     subm_plan(levels[l], caps[l], subm_bufs[l]);
     if (l > 0) stride_plan(levels[l - 1], levels[l], caps[l], stride_bufs[l]);
+  }
+  // aux neighborhood plans: level-0 voxel -> 3x3x3 ring of its level-L parent
+  const Level& L0 = levels[0];
+  const int64_t n0 = static_cast<int64_t>(L0.coords.size()) / 3;
+  for (int l = 1; l < 4; ++l) {
+    const Level& L = levels[l];
+    int32_t* buf = aux_bufs[l];
+    int k = 0;
+    for (int dz = -1; dz <= 1; ++dz)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx, ++k) {
+          int32_t* row = buf + static_cast<int64_t>(k) * caps[0];
+          for (int64_t i = 0; i < n0; ++i) {
+            const int64_t z = (L0.coords[i * 3] >> l) + dz;
+            const int64_t y = (L0.coords[i * 3 + 1] >> l) + dy;
+            const int64_t x = (L0.coords[i * 3 + 2] >> l) + dx;
+            if (z < 0 || z >= L.d || y < 0 || y >= L.h || x < 0 || x >= L.w) {
+              row[i] = -1;
+              continue;
+            }
+            row[i] = L.map.find(key_of(z, y, x, L));
+          }
+        }
   }
   return 0;
 }

@@ -88,6 +88,7 @@ class SpineOut(NamedTuple):
     points_mean: jnp.ndarray   # [B, V, 3] input-voxel centroids
     points_valid: jnp.ndarray  # [B, V]
     new_state: dict
+    aux_plans: dict            # host 3-NN neighborhood plans (may be empty)
 
 
 def _compute_dtype(cfg: SASSDConfig):
@@ -154,8 +155,12 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
     new_state["bevnet"] = bev_state
     if vfe_state:
         new_state["vfe"] = vfe_state
+    aux_plans = {}
+    if host_plans is not None:
+        aux_plans = {k: v for k, v in host_plans.items()
+                     if k.startswith("aux")}
     return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
-                    new_state)
+                    new_state, aux_plans)
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +180,23 @@ def aux_forward(params, spine: SpineOut, cfg: SASSDConfig):
     pcr = np.asarray(cfg.voxel.point_cloud_range[:3], np.float32)
     vs0 = np.asarray(cfg.voxel.voxel_size, np.float32)
     feats_per_level = []
-    for (keys, feats, shape), mult in zip(spine.middles, _LEVEL_VOXEL_MULT):
+    for lvl, ((keys, feats, shape), mult) in enumerate(
+            zip(spine.middles, _LEVEL_VOXEL_MULT), start=1):
         vs = vs0 * mult
         coords = jax.vmap(lambda k: sp.keys_to_coords(k, shape))(keys)
         centers = (coords[..., [2, 1, 0]].astype(jnp.float32) + 0.5) * vs + pcr
-        kvalid = keys != sp.INVALID_KEY
 
-        interp = jax.vmap(
-            lambda u, kx, kv, kf: interpolate.three_nn_interpolate(u, kx, kv, kf)
-        )(spine.points_mean, centers, kvalid, feats)
+        aux_plan = spine.aux_plans.get(f"aux{lvl}") if spine.aux_plans else None
+        if aux_plan is not None:
+            # host-rulebook neighborhood 3-NN (fast path)
+            interp = jax.vmap(interpolate.neighborhood_interpolate)(
+                spine.points_mean, centers, feats, aux_plan)
+        else:
+            kvalid = keys != sp.INVALID_KEY
+            interp = jax.vmap(
+                lambda u, kx, kv, kf: interpolate.three_nn_interpolate(
+                    u, kx, kv, kf)
+            )(spine.points_mean, centers, kvalid, feats)
         feats_per_level.append(interp)
 
     pointwise = L.linear(params["aux"]["point_fc"],

@@ -60,3 +60,39 @@ def three_nn_interpolate(unknown_xyz: jnp.ndarray,
     out = jax.lax.map(one_chunk, chunks)
     out = out.reshape(-1, known_feats.shape[-1])
     return out[:n]
+
+
+def neighborhood_interpolate(query_xyz: jnp.ndarray,
+                             centers: jnp.ndarray,
+                             feats: jnp.ndarray,
+                             plan_idx: jnp.ndarray) -> jnp.ndarray:
+    """3-NN interpolation restricted to a precomputed candidate neighborhood.
+
+    The exact brute-force search above is O(N*M) and dominated the train
+    step; here the host rulebook supplies, per query, the <=27 active cells
+    of the 3x3x3 ring around the query's parent cell (ops/native.py
+    build_plans_cpp aux{L} plans). Queries are input-voxel centroids, so
+    their parent cell is active by construction and the global 3 nearest
+    centers lie in this ring except in degenerate isolated-voxel cases —
+    where the weighting gracefully falls back to the available candidates.
+
+    Args:
+      query_xyz: [N, 3]; centers: [M, 3]; feats: [M, C];
+      plan_idx: [27, N] int32 rows into centers/feats (-1 = missing).
+    Returns:
+      [N, C] interpolated features (0 where no candidate exists).
+    """
+    found = plan_idx >= 0                                     # [27, N]
+    idx = jnp.maximum(plan_idx, 0)
+    cand = centers[idx]                                       # [27, N, 3]
+    d2 = jnp.sum((cand - query_xyz[None]) ** 2, axis=-1)      # [27, N]
+    d2 = jnp.where(found, d2, _BIG)
+    neg, sel = jax.lax.top_k(-d2.T, 3)                        # [N, 3]
+    d2_3 = -neg
+    rows = jnp.take_along_axis(idx.T, sel, axis=1)            # [N, 3]
+    ok = jnp.take_along_axis(found.T, sel, axis=1)
+    w = jnp.where(ok, 1.0 / (d2_3 + 1e-8), 0.0)
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    w = w / jnp.where(denom > 0, denom, 1.0)
+    f = feats[rows]                                           # [N, 3, C]
+    return jnp.sum(f * w[..., None], axis=1)

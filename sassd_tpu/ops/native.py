@@ -53,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rotated_overlap.restype = None
     lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
     lib.build_plans.restype = i64
-    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 10 + [i64p]
+    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 13 + [i64p]
     _lib = lib
     return lib
 
@@ -126,12 +126,14 @@ def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
     for l in range(1, 4):
         out[f"coords{l}"] = np.full((int(caps[l]), 3), -1, np.int32)
         out[f"stride{l}"] = np.full((27, int(caps[l])), -1, np.int32)
+        out[f"aux{l}"] = np.full((27, int(caps[0])), -1, np.int32)
     n_out = np.zeros(4, np.int64)
     lib.build_plans(np.ascontiguousarray(coords0, np.int32), caps, dims,
                     out["subm0"], out["coords1"], out["subm1"],
                     out["stride1"], out["coords2"], out["subm2"],
                     out["stride2"], out["coords3"], out["subm3"],
-                    out["stride3"], n_out)
+                    out["stride3"], out["aux1"], out["aux2"], out["aux3"],
+                    n_out)
     out["n_active"] = n_out.astype(np.int32)
     return out
 

@@ -95,3 +95,54 @@ def test_interpolation_smooth_field():
     ref = unknown @ np.array([[1.0], [2.0], [-0.5]], np.float32)
     # 3-NN of a dense cloud approximates a linear field coarsely
     assert np.abs(got - ref).mean() < 0.5
+
+
+def test_neighborhood_interpolation_matches_exact():
+    """Host-rulebook neighborhood 3-NN must agree with global 3-NN for
+    centroid queries (their parent cell is active by construction)."""
+    import jax
+    from sassd_tpu.config import tiny_config
+    from sassd_tpu.ops import native
+    from sassd_tpu.ops import sparse as sp
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    # clustered actives (realistic surface-like data)
+    pcr = np.asarray(cfg.voxel.point_cloud_range)
+    pts = np.concatenate([
+        rng.normal([2.0, 0.0, -1.5], 0.5, (400, 3)),
+        rng.normal([4.5, 1.5, -1.8], 0.4, (400, 3))]).astype(np.float32)
+    pts = np.concatenate([pts, rng.uniform(0, 1, (800, 1)).astype(np.float32)], 1)
+    from sassd_tpu.ops.voxelize import voxelize_np
+    v, c, n = voxelize_np(pts, cfg.voxel, pad=True)
+    plans = native.build_plans_cpp(c, cfg.sparse_shape,
+                                   (cfg.voxel.max_voxels,)
+                                   + tuple(cfg.caps.level_caps[1:]))
+    # level-1 centers/feats
+    shape1 = sp.out_shape_stride2(cfg.sparse_shape)
+    keys1 = sp.coords_to_keys(jnp.asarray(plans["coords1"]), shape1)
+    coords1 = np.asarray(plans["coords1"])
+    valid1 = coords1[:, 0] >= 0
+    vs = np.asarray(cfg.voxel.voxel_size) * 2
+    centers = (coords1[:, [2, 1, 0]] + 0.5) * vs + pcr[:3]
+    centers[~valid1] = 0
+    m1 = valid1.sum()
+    feats = rng.normal(size=(len(coords1), 8)).astype(np.float32)
+    feats[~valid1] = 0
+    # queries: voxel centroids
+    nums = n
+    q = np.zeros((len(v), 3), np.float32)
+    ok = nums > 0
+    q[ok] = v[ok, :, :3].sum(1) / nums[ok][:, None]
+
+    exact = np.asarray(interpolate.three_nn_interpolate(
+        jnp.asarray(q), jnp.asarray(centers.astype(np.float32)),
+        jnp.asarray(valid1), jnp.asarray(feats), chunk=128))
+    nbhd = np.asarray(interpolate.neighborhood_interpolate(
+        jnp.asarray(q), jnp.asarray(centers.astype(np.float32)),
+        jnp.asarray(feats), jnp.asarray(plans["aux1"])))
+    # agreement on valid queries (allow rare isolated-voxel divergences)
+    diff = np.abs(exact[ok] - nbhd[ok]).max(axis=1)
+    assert (diff < 1e-3).mean() > 0.97, (diff < 1e-3).mean()
