@@ -195,7 +195,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
                     ik, ok, shape, index_map=im))(keys, out_keys, imap)
         y = jax.vmap(lambda f, pl: sp.subm_conv(
-            f, params[pfx]["conv0"]["w"], pl, cd))(x, plan)
+            f, params[pfx]["conv0"]["w"], pl, cd, symmetric=False))(x, plan)
         omask = out_keys != sp.INVALID_KEY
         y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
                              train=train, mask=omask)

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,16 +163,65 @@ def gather_im2col(feats: jnp.ndarray, plan: SubmPlan,
 
 
 def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, plan: SubmPlan,
-              compute_dtype=jnp.float32) -> jnp.ndarray:
+              compute_dtype=jnp.float32,
+              symmetric: bool = True) -> jnp.ndarray:
     """Submanifold sparse conv: im2col gather + one MXU matmul.
 
     weight: [K, Cin, Cout].
+
+    With `symmetric=True` (valid ONLY when the plan's input and output sets
+    are the same — true submanifold convs) a custom VJP turns the backward
+    gather-transpose into another GATHER with the mirrored kernel offsets
+    instead of XLA's serialized scatter-add:
+        d_in[j] = sum_k W_k . d_out[j - off_k] = sum_k W_k . d_out[n_{K-1-k}(j)]
+    because the offset list is antisymmetric under reversal. Pass
+    symmetric=False for stride plans (different in/out sets).
     """
+    if symmetric:
+        return _subm_conv_sym(compute_dtype, feats, weight, plan.idx,
+                              plan.found)
+    return _subm_conv_raw(feats, weight, plan, compute_dtype)
+
+
+def _subm_conv_raw(feats, weight, plan: SubmPlan, compute_dtype):
     k, cin, cout = weight.shape
     col = gather_im2col(feats, plan, dtype=compute_dtype)
     w2 = weight.reshape(k * cin, cout).astype(compute_dtype)
-    out = jnp.dot(col, w2, preferred_element_type=jnp.float32)
-    return out
+    return jnp.dot(col, w2, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _subm_conv_sym(compute_dtype, feats, weight, idx, found):
+    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+
+
+def _subm_conv_sym_fwd(compute_dtype, feats, weight, idx, found):
+    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+    return out, (feats, weight, idx, found)
+
+
+def _subm_conv_sym_bwd(compute_dtype, res, d_out):
+    feats, weight, idx, found = res
+    k, cin, cout = weight.shape
+    plan = SubmPlan(idx, found)
+    # dW: recompute the forward im2col (cheaper than storing it)
+    col = gather_im2col(feats, plan, dtype=compute_dtype)
+    dw = jnp.dot(col.T, d_out.astype(compute_dtype),
+                 preferred_element_type=jnp.float32).reshape(k, cin, cout)
+    # d_feats: gather d_out with the MIRRORED plan, contract with W^T.
+    # Slot m of the mirrored im2col holds d_out[n_{K-1-m}(j)], whose
+    # coefficient in d_in[j] = sum_k W_k . d_out[n_{K-1-k}(j)] is W_m —
+    # so the weights stay in order, only transposed.
+    mirror = SubmPlan(idx[::-1], found[::-1])
+    col_b = gather_im2col(d_out, mirror, dtype=compute_dtype)
+    wb = weight.transpose(0, 2, 1).reshape(
+        k * cout, cin).astype(compute_dtype)
+    d_feats = jnp.dot(col_b, wb, preferred_element_type=jnp.float32)
+    d_feats = d_feats.astype(feats.dtype)
+    return (d_feats, dw.astype(weight.dtype), None, None)
+
+
+_subm_conv_sym.defvjp(_subm_conv_sym_fwd, _subm_conv_sym_bwd)
 
 
 # ---------------------------------------------------------------------------

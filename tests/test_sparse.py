@@ -143,3 +143,28 @@ def test_vmap_batch():
     for b in range(3):
         np.testing.assert_allclose(np.asarray(batched[b]),
                                    np.asarray(one(keys[b], feats[b])), atol=1e-5)
+
+
+def test_subm_conv_custom_vjp_matches_autodiff():
+    """The mirrored-plan backward must equal autodiff of the raw gather."""
+    rng = np.random.default_rng(9)
+    shape = (5, 12, 16)
+    keys, feats = random_level(rng, shape, 120, 8, cap=160)
+    weight = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32))
+    plan = S.build_subm_plan(keys, shape)
+    cot = jnp.asarray(rng.normal(size=(160, 6)).astype(np.float32))
+    # zero the cotangent at padded rows (as real losses do via masks)
+    cot = cot * (np.asarray(keys) != S.INVALID_KEY)[:, None]
+
+    def f_sym(f, w):
+        return jnp.vdot(S.subm_conv(f, w, plan, symmetric=True), cot)
+
+    def f_raw(f, w):
+        return jnp.vdot(S.subm_conv(f, w, plan, symmetric=False), cot)
+
+    gf_s, gw_s = jax.grad(f_sym, argnums=(0, 1))(feats, weight)
+    gf_r, gw_r = jax.grad(f_raw, argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_r),
+                               rtol=1e-4, atol=1e-4)
