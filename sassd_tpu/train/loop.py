@@ -55,19 +55,25 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
 
 
 class LogBuffer:
-    """Running averages flushed every `interval` iters (mmcv LogBuffer)."""
+    """Running averages flushed every `interval` iters (mmcv LogBuffer).
+
+    Sums accumulate as device scalars (async adds, no host sync); the only
+    host transfer happens in `averages()` at flush time — on networked
+    accelerators a per-step device_get costs a full round trip.
+    """
 
     def __init__(self):
-        self.sums: Dict[str, float] = {}
+        self.sums: Dict[str, object] = {}
         self.counts: Dict[str, int] = {}
 
-    def update(self, metrics: Dict[str, float]):
+    def update(self, metrics):
         for k, v in metrics.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.sums[k] = v if k not in self.sums else self.sums[k] + v
             self.counts[k] = self.counts.get(k, 0) + 1
 
     def averages(self) -> Dict[str, float]:
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+        host = jax.device_get(self.sums)
+        return {k: float(host[k]) / max(self.counts[k], 1) for k in host}
 
     def clear(self):
         self.sums.clear()
@@ -129,7 +135,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
             params, state, opt_state, metrics = train_step(
                 params, state, opt_state, dev_batch)
             step += 1
-            buf.update(jax.device_get(metrics))
+            buf.update(metrics)          # device scalars; no per-step sync
             if step % cfg.train.log_interval == 0:
                 avg = buf.averages()
                 lr, mom = optim_lib.current_hyperparams(
