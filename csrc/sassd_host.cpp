@@ -89,6 +89,55 @@ void points_in_rbbox(const float* points, int64_t n, int64_t stride,
   }
 }
 
+// BEV-occupancy anchors mask (kitti.py:227-238 + geometry.py:675-710):
+// occupancy integral image over the voxel grid, queried per anchor footprint.
+// coords: [v, 3] int32 zyx (-1 rows = padding); anchors_bv: [a, 4] float32
+// (xmin, ymin, xmax, ymax); grid: [3] int64 xyz; out: [a] uint8.
+void anchors_mask(const int32_t* coords, int64_t v, const float* anchors_bv,
+                  int64_t a, const float* voxel_size, const float* pc_min,
+                  const int64_t* grid, float threshold, uint8_t* out) {
+  const int64_t W = grid[0], H = grid[1];
+  // integral image with a zero row/col border: I[(y+1)*(W+1) + (x+1)]
+  std::vector<int32_t> integral(static_cast<size_t>((H + 1) * (W + 1)), 0);
+  for (int64_t i = 0; i < v; ++i) {
+    const int32_t z = coords[i * 3];
+    if (z < 0) continue;
+    const int64_t y = coords[i * 3 + 1], x = coords[i * 3 + 2];
+    integral[(y + 1) * (W + 1) + (x + 1)] += 1;
+  }
+  for (int64_t y = 1; y <= H; ++y) {
+    int32_t run = 0;
+    int32_t* row = integral.data() + y * (W + 1);
+    const int32_t* prev = integral.data() + (y - 1) * (W + 1);
+    for (int64_t x = 1; x <= W; ++x) {
+      run += row[x];
+      row[x] = run + prev[x];
+    }
+  }
+  auto clampi = [](int64_t v_, int64_t lo, int64_t hi) {
+    return v_ < lo ? lo : (v_ > hi ? hi : v_);
+  };
+  for (int64_t i = 0; i < a; ++i) {
+    const float* bv = anchors_bv + i * 4;
+    const int64_t x0 = clampi(static_cast<int64_t>(
+        std::floor((bv[0] - pc_min[0]) / voxel_size[0])), 0, W - 1);
+    const int64_t y0 = clampi(static_cast<int64_t>(
+        std::floor((bv[1] - pc_min[1]) / voxel_size[1])), 0, H - 1);
+    const int64_t x1 = clampi(static_cast<int64_t>(
+        std::floor((bv[2] - pc_min[0]) / voxel_size[0])), 0, W - 1);
+    const int64_t y1 = clampi(static_cast<int64_t>(
+        std::floor((bv[3] - pc_min[1]) / voxel_size[1])), 0, H - 1);
+    // reference semantics (fused_get_anchors_area): ID - IB - IC + IA with
+    // corner INDICES (not +1 spans): area over [y0+1..y1] x [x0+1..x1]
+    const int64_t area =
+        integral[(y1 + 1) * (W + 1) + (x1 + 1)]
+        - integral[(y1 + 1) * (W + 1) + (x0 + 1)]
+        - integral[(y0 + 1) * (W + 1) + (x1 + 1)]
+        + integral[(y0 + 1) * (W + 1) + (x0 + 1)];
+    out[i] = area > threshold;
+  }
+}
+
 namespace {
 
 struct Pt { double x, y; };
@@ -184,19 +233,19 @@ void rotated_overlap(const double* boxes, int64_t n, const double* qboxes,
 
 namespace {
 
-// Open-addressed linear-probe hash table (int64 key -> int32 row). ~8x
-// faster than std::unordered_map for this workload (hot loop of the plan
-// builder: ~5M lookups per scan).
+// Open-addressed linear-probe hash table (int32 key -> int32 row), key and
+// value interleaved in one 8-byte slot so a lookup costs a single cache-line
+// touch. Grids here are < 2^31 cells, so int32 keys suffice. ~15x faster
+// than std::unordered_map for the plan builder's ~5M lookups per scan.
 struct FlatMap {
-  std::vector<int64_t> keys;
-  std::vector<int32_t> vals;
+  struct Slot { int32_t key; int32_t val; };
+  std::vector<Slot> slots;
   uint64_t mask = 0;
 
   void init(int64_t expect) {
     uint64_t cap = 64;
     while (cap < static_cast<uint64_t>(expect) * 2) cap <<= 1;
-    keys.assign(cap, -1);
-    vals.assign(cap, -1);
+    slots.assign(cap, Slot{-1, -1});
     mask = cap - 1;
   }
   static inline uint64_t hash(int64_t k) {
@@ -208,19 +257,20 @@ struct FlatMap {
   }
   // returns true if inserted, false if key already present
   inline bool insert(int64_t k, int32_t v) {
+    const int32_t k32 = static_cast<int32_t>(k);
     uint64_t i = hash(k) & mask;
-    while (keys[i] != -1) {
-      if (keys[i] == k) return false;
+    while (slots[i].key != -1) {
+      if (slots[i].key == k32) return false;
       i = (i + 1) & mask;
     }
-    keys[i] = k;
-    vals[i] = v;
+    slots[i] = Slot{k32, v};
     return true;
   }
   inline int32_t find(int64_t k) const {
+    const int32_t k32 = static_cast<int32_t>(k);
     uint64_t i = hash(k) & mask;
-    while (keys[i] != -1) {
-      if (keys[i] == k) return vals[i];
+    while (slots[i].key != -1) {
+      if (slots[i].key == k32) return slots[i].val;
       i = (i + 1) & mask;
     }
     return -1;
@@ -300,6 +350,19 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
                 int32_t* subm3, int32_t* stride3,
                 int32_t* aux1, int32_t* aux2, int32_t* aux3,
                 int64_t* n_out) {
+  // -1-fill all outputs here (int32 -1 is 0xFF bytes): lets the caller hand
+  // over uninitialized np.empty buffers (np.full was a measurable cost)
+  {
+    int32_t* bufs27[10] = {subm0, subm1, subm2, subm3, stride1, stride2,
+                           stride3, aux1, aux2, aux3};
+    const int64_t caps27[10] = {caps[0], caps[1], caps[2], caps[3], caps[1],
+                                caps[2], caps[3], caps[0], caps[0], caps[0]};
+    for (int b = 0; b < 10; ++b)
+      std::memset(bufs27[b], 0xFF, sizeof(int32_t) * 27 * caps27[b]);
+    int32_t* cbufs[3] = {coords1, coords2, coords3};
+    for (int b = 0; b < 3; ++b)
+      std::memset(cbufs[b], 0xFF, sizeof(int32_t) * 3 * caps[b + 1]);
+  }
   Level levels[4];
   levels[0].d = dims[0];
   levels[0].h = dims[1];

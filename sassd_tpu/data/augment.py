@@ -118,6 +118,11 @@ def anchors_mask_from_coords(coords_zyx: np.ndarray, anchors_bv: np.ndarray,
     Returns:
       [A] bool mask: anchors whose footprint covers > threshold voxels.
     """
+    from sassd_tpu.ops import native
+    if native.available():
+        return native.anchors_mask_cpp(coords_zyx, anchors_bv, voxel_size,
+                                       np.asarray(pc_range), grid_size,
+                                       threshold)
     h, w = int(grid_size[1]), int(grid_size[0])
     ok = coords_zyx[:, 0] >= 0
     dense = np.zeros((h, w), np.float32)

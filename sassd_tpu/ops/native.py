@@ -54,6 +54,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
     lib.build_plans.restype = i64
     lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 13 + [i64p]
+    lib.anchors_mask.restype = None
+    lib.anchors_mask.argtypes = [i32p, i64, f32p, i64, f32p, f32p, i64p,
+                                 ctypes.c_float, u8p]
     _lib = lib
     return lib
 
@@ -121,12 +124,12 @@ def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
     caps = np.asarray(level_caps, np.int64)
     assert coords0.shape[0] == caps[0], (coords0.shape, caps)
     dims = np.asarray(sparse_shape, np.int64)
-    out = {f"subm{l}": np.full((27, int(caps[l])), -1, np.int32)
+    out = {f"subm{l}": np.empty((27, int(caps[l])), np.int32)
            for l in range(4)}
     for l in range(1, 4):
-        out[f"coords{l}"] = np.full((int(caps[l]), 3), -1, np.int32)
-        out[f"stride{l}"] = np.full((27, int(caps[l])), -1, np.int32)
-        out[f"aux{l}"] = np.full((27, int(caps[0])), -1, np.int32)
+        out[f"coords{l}"] = np.empty((int(caps[l]), 3), np.int32)
+        out[f"stride{l}"] = np.empty((27, int(caps[l])), np.int32)
+        out[f"aux{l}"] = np.empty((27, int(caps[0])), np.int32)
     n_out = np.zeros(4, np.int64)
     lib.build_plans(np.ascontiguousarray(coords0, np.int32), caps, dims,
                     out["subm0"], out["coords1"], out["subm1"],
@@ -136,6 +139,22 @@ def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
                     n_out)
     out["n_active"] = n_out.astype(np.int32)
     return out
+
+
+def anchors_mask_cpp(coords, anchors_bv, voxel_size, pc_range, grid,
+                     threshold: float) -> np.ndarray:
+    """Native BEV-occupancy anchors mask (kitti.py:227-238 semantics)."""
+    lib = _load()
+    assert lib is not None
+    coords = np.ascontiguousarray(coords, np.int32)
+    bv = np.ascontiguousarray(anchors_bv, np.float32)
+    out = np.zeros((bv.shape[0],), np.uint8)
+    lib.anchors_mask(coords, coords.shape[0], bv, bv.shape[0],
+                     np.ascontiguousarray(voxel_size, np.float32),
+                     np.ascontiguousarray(pc_range[:3], np.float32),
+                     np.ascontiguousarray(grid, np.int64),
+                     float(threshold), out)
+    return out.astype(bool)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,40 @@ def test_loader_sharding(kitti_root, cfg):
             ds, 2, epoch=0, seed=1, num_shards=2, shard_id=0, num_workers=2):
         again += [m["sample_idx"] for m in metas]
     assert again == seen[:len(again)]
+
+
+def test_anchors_mask_cpp_matches_numpy():
+    from sassd_tpu.ops import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+    from sassd_tpu.ops.voxelize import VoxelConfig
+    vcfg = VoxelConfig(voxel_size=(0.05, 0.05, 0.1),
+                       point_cloud_range=(0, -40.0, -3.0, 70.4, 40.0, 1.0),
+                       max_num_points=5, max_voxels=20000)
+    rng = np.random.default_rng(11)
+    coords = np.full((20000, 3), -1, np.int32)
+    n = 15000
+    coords[:n, 0] = rng.integers(0, 40, n)
+    coords[:n, 1] = rng.integers(0, 1600, n)
+    coords[:n, 2] = rng.integers(0, 1408, n)
+    bv = np.zeros((500, 4), np.float32)
+    bv[:, 0] = rng.uniform(-1, 69, 500)
+    bv[:, 1] = rng.uniform(-41, 39, 500)
+    bv[:, 2] = bv[:, 0] + rng.uniform(1, 5, 500)
+    bv[:, 3] = bv[:, 1] + rng.uniform(1, 5, 500)
+    pcr = np.asarray(vcfg.point_cloud_range)
+    got = native.anchors_mask_cpp(coords, bv, vcfg.voxel_size, pcr,
+                                  vcfg.grid_size, 1.0)
+    # numpy reference path
+    h, w = int(vcfg.grid_size[1]), int(vcfg.grid_size[0])
+    ok = coords[:, 0] >= 0
+    dense = np.zeros((h, w), np.float64)
+    np.add.at(dense, (coords[ok, 1], coords[ok, 2]), 1.0)
+    integral = dense.cumsum(0).cumsum(1)
+    x0 = np.clip(np.floor((bv[:, 0] - pcr[0]) / vcfg.voxel_size[0]).astype(int), 0, w - 1)
+    y0 = np.clip(np.floor((bv[:, 1] - pcr[1]) / vcfg.voxel_size[1]).astype(int), 0, h - 1)
+    x1 = np.clip(np.floor((bv[:, 2] - pcr[0]) / vcfg.voxel_size[0]).astype(int), 0, w - 1)
+    y1 = np.clip(np.floor((bv[:, 3] - pcr[1]) / vcfg.voxel_size[1]).astype(int), 0, h - 1)
+    area = integral[y1, x1] - integral[y0, x1] - integral[y1, x0] + integral[y0, x0]
+    np.testing.assert_array_equal(got, area > 1.0)
