@@ -83,6 +83,32 @@ def second_box_decode(encodings, anchors):
     return jnp.concatenate([xg, yg, zg, wg, lg, hg, rg], axis=-1)
 
 
+def bev_box_encode(boxes, anchors):
+    """BEV (5-dof) residual encode: x, y, w, l, yaw only.
+
+    Semantics of /root/reference/mmdet/core/bbox3d/box_coders.py:85-118
+    (BevBoxCoder without z/h): xy normalized by the anchor diagonal,
+    log-dims, plain angle residual. Registered in the reference but unused
+    by its configs; provided for coder parity.
+    """
+    xa, ya, wa, la, ra = jnp.split(anchors[..., [0, 1, 3, 4, 6]], 5, axis=-1)
+    xg, yg, wg, lg, rg = jnp.split(boxes[..., [0, 1, 3, 4, 6]], 5, axis=-1)
+    diagonal = jnp.sqrt(la * la + wa * wa)
+    return jnp.concatenate([(xg - xa) / diagonal, (yg - ya) / diagonal,
+                            jnp.log(wg / wa), jnp.log(lg / la), rg - ra],
+                           axis=-1)
+
+
+def bev_box_decode(encodings, anchors):
+    """Inverse of :func:`bev_box_encode` -> [..., 5] (x, y, w, l, yaw)."""
+    xa, ya, wa, la, ra = jnp.split(anchors[..., [0, 1, 3, 4, 6]], 5, axis=-1)
+    xt, yt, wt, lt, rt = jnp.split(encodings, 5, axis=-1)
+    diagonal = jnp.sqrt(la * la + wa * wa)
+    return jnp.concatenate([xt * diagonal + xa, yt * diagonal + ya,
+                            jnp.exp(wt) * wa, jnp.exp(lt) * la, rt + ra],
+                           axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # nearest-axis-aligned BEV boxes + IoU ("NearestIouSimilarity")
 # ---------------------------------------------------------------------------

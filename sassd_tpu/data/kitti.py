@@ -195,6 +195,24 @@ class KittiDataset:
         return out
 
 
+class ConcatDataset:
+    """Concatenate datasets (the reference's multi-annfile path,
+    datasets/utils.py:117-127 via ConcatDataset)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+        self.anchors = self.datasets[0].anchors
+        self.anchors_bv = self.datasets[0].anchors_bv
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        k = int(np.searchsorted(self._offsets[1:], idx, side="right"))
+        return self.datasets[k][idx - int(self._offsets[k])]
+
+
 class RawScanDataset:
     """Inference over a directory of raw .bin scans (KittiVideo analog,
     kitti.py:356-403): no labels, one shared calibration."""

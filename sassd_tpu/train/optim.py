@@ -63,18 +63,30 @@ def one_cycle_momentum(moms: Tuple[float, float], pct_start: float,
     return schedule
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
-    lr = one_cycle_lr(cfg.lr, cfg.div_factor, cfg.pct_start, total_steps)
-    mom = one_cycle_momentum(cfg.moms, cfg.pct_start, total_steps)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.inject_hyperparams(optax.adamw)(
-            learning_rate=lr, b1=mom, b2=0.99, eps=1e-8,
-            weight_decay=cfg.weight_decay),
-    )
+def make_optimizer(cfg: TrainConfig, total_steps: int,
+                   kind: str = "adam_onecycle") -> optax.GradientTransformation:
+    """Build the optimizer; `kind` mirrors the reference's registry
+    (optimization/__init__.py:9-16: adam_onecycle / adam / sgd)."""
+    clip = optax.clip_by_global_norm(cfg.grad_clip_norm)
+    if kind == "adam_onecycle":
+        lr = one_cycle_lr(cfg.lr, cfg.div_factor, cfg.pct_start, total_steps)
+        mom = one_cycle_momentum(cfg.moms, cfg.pct_start, total_steps)
+        return optax.chain(
+            clip,
+            optax.inject_hyperparams(optax.adamw)(
+                learning_rate=lr, b1=mom, b2=0.99, eps=1e-8,
+                weight_decay=cfg.weight_decay),
+        )
+    if kind == "adam":
+        return optax.chain(clip, optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay))
+    if kind == "sgd":
+        return optax.chain(clip, optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.lr, momentum=cfg.moms[0]))
+    raise ValueError(f"unknown optimizer kind {kind!r}")
 
 
 def current_hyperparams(opt_state):
     """(lr, b1) actually applied at the last step (for logging)."""
     hp = opt_state[1].hyperparams
-    return float(hp["learning_rate"]), float(hp["b1"])
+    return float(hp["learning_rate"]), float(hp.get("b1", 0.0))

@@ -146,3 +146,14 @@ def test_box_camera_to_lidar():
     np.testing.assert_allclose(np.asarray(lidar[0, :3]), [10.0, -2.0, -1.0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(lidar[0, 3:6]), [1.6, 3.9, 1.56], atol=1e-5)
     np.testing.assert_allclose(np.asarray(lidar[0, 6]), 0.2, atol=1e-5)
+
+
+def test_bev_box_coder_roundtrip():
+    rng = np.random.default_rng(5)
+    boxes = random_boxes(rng, 32)
+    anchors = random_boxes(rng, 32)
+    enc = B.bev_box_encode(jnp.asarray(boxes), jnp.asarray(anchors))
+    assert enc.shape == (32, 5)
+    dec = np.asarray(B.bev_box_decode(enc, jnp.asarray(anchors)))
+    np.testing.assert_allclose(dec, boxes[:, [0, 1, 3, 4, 6]], rtol=1e-3,
+                               atol=1e-3)
