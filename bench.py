@@ -35,10 +35,11 @@ def main():
 
     from sassd_tpu.data.kitti import build_host_plans
 
-    # realistic scans: ground plane + cars, ~16-18k occupied voxels
+    # realistic scans: KITTI velodyne_reduced has ~17-20k points in range,
+    # giving ~14-17k occupied voxels at the 5cm grid
     batches = []
     for i in range(8):
-        pts, _boxes, _ = make_scene(rng, n_cars=(6, 12), n_ground=60000)
+        pts, _boxes, _ = make_scene(rng, n_cars=(6, 12), n_ground=18000)
         v, c, n = voxelize_np(pts, cfg.voxel, pad=True)
         batch = {
             "voxels": jnp.asarray(v[None]),
