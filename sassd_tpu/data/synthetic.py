@@ -29,7 +29,12 @@ def default_calib() -> Calibration:
 
 
 def sample_box_points(box, n, rng):
-    """Surface-ish points on a lidar box [x,y,z,w,l,h,yaw] (clockwise yaw)."""
+    """Surface-ish points on a lidar box [x,y,z,w,l,h,yaw] (clockwise yaw).
+
+    Density is biased toward the +local-y ("front") half so orientation is
+    learnable — symmetric clouds make the direction classifier's target
+    information-free (its CE then floors at ln2).
+    """
     x, y, z, w, l, h, r = box
     local = rng.uniform(-0.49, 0.49, (n, 3)) * [w, l, h]
     # push points to (slightly inside) the shell for realism; the inset keeps
@@ -37,6 +42,9 @@ def sample_box_points(box, n, rng):
     axis = rng.integers(0, 3, n)
     sign = rng.choice([-0.49, 0.49], n)
     local[np.arange(n), axis] = sign * np.array([w, l, h])[axis]
+    # front-bias: fold 70% of rear-half points into the front half
+    fold = (local[:, 1] < 0) & (rng.uniform(size=n) < 0.7)
+    local[fold, 1] = -local[fold, 1]
     c, s = np.cos(r), np.sin(r)
     gx = local[:, 0] * c + local[:, 1] * s + x
     gy = -local[:, 0] * s + local[:, 1] * c + y
@@ -46,28 +54,55 @@ def sample_box_points(box, n, rng):
 
 
 def make_scene(rng, n_cars=(3, 8), n_ground=12000,
-               x_range=(4.0, 66.0), y_range=(-36.0, 36.0)):
-    """Returns (points [N,4], boxes [M,7] lidar, types)."""
+               x_range=(4.0, 66.0), y_range=(-36.0, 36.0),
+               frustum: bool = False):
+    """Returns (points [N,4], boxes [M,7] lidar, types).
+
+    With frustum=True the scene mimics a KITTI velodyne_reduced scan: points
+    and objects restricted to the frontal camera frustum (|y| <~ 0.84 x),
+    which also keeps voxel counts in the real-data regime.
+    """
     m = int(rng.integers(*n_cars))
     boxes = []
     for _ in range(m):
-        for _try in range(20):
+        for _try in range(40):
             b = np.array([
                 rng.uniform(*x_range), rng.uniform(*y_range),
                 rng.uniform(-1.9, -1.5),
                 rng.uniform(1.5, 1.8), rng.uniform(3.4, 4.4),
                 rng.uniform(1.4, 1.8), rng.uniform(-np.pi, np.pi)],
                 np.float32)
+            if frustum and abs(b[1]) > 0.7 * b[0]:
+                continue
             if all(np.hypot(b[0] - o[0], b[1] - o[1]) > 5.0 for o in boxes):
                 boxes.append(b)
                 break
     boxes = np.stack(boxes) if boxes else np.zeros((0, 7), np.float32)
 
-    gx = rng.uniform(0, 70.0, n_ground)
-    gy = rng.uniform(-40.0, 40.0, n_ground)
-    gz = rng.normal(-1.75, 0.03, n_ground)
-    gr = rng.uniform(0, 0.3, n_ground)
-    ground = np.stack([gx, gy, gz, gr], 1).astype(np.float32)
+    if frustum:
+        # scan-line-structured ground (real LiDAR adjacency): rays at
+        # regular azimuths x beam elevations hitting a flat ground plane.
+        # This reproduces the voxel-neighbourhood statistics of KITTI scans
+        # (uniform scatter makes every voxel isolated and inflates the
+        # downsampled active sets ~8x beyond real data).
+        n_az = max(int(n_ground) // 48, 64)
+        az = np.linspace(-0.70, 0.70, n_az) + rng.normal(0, 1e-3, n_az)
+        elev = np.linspace(-0.42, -0.025, 48)
+        d = 1.73 / np.tan(-elev)                            # [48]
+        d = d[(d > 2.0) & (d < 72.0)]
+        dd, aa = np.meshgrid(d, az)
+        dd = dd + rng.normal(0, 0.02, dd.shape)
+        gx = (dd * np.cos(aa)).reshape(-1)
+        gy = (dd * np.sin(aa)).reshape(-1)
+        gz = rng.normal(-1.75, 0.02, gx.shape[0])
+        gr = rng.uniform(0, 0.3, gx.shape[0])
+        ground = np.stack([gx, gy, gz, gr], 1).astype(np.float32)
+    else:
+        gx = rng.uniform(0, 70.0, n_ground)
+        gy = rng.uniform(-40.0, 40.0, n_ground)
+        gz = rng.normal(-1.75, 0.03, n_ground)
+        gr = rng.uniform(0, 0.3, n_ground)
+        ground = np.stack([gx, gy, gz, gr], 1).astype(np.float32)
 
     obj_pts = [sample_box_points(b, int(rng.integers(80, 400)), rng)
                for b in boxes]
@@ -173,7 +208,7 @@ def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
     for i in range(n_train + n_val):
         split = "train" if i < n_train else "val"
         ids[split].append(i)
-        points, boxes, types = make_scene(rng)
+        points, boxes, types = make_scene(rng, n_ground=16000, frustum=True)
         points.tofile(tdir / "velodyne_reduced" / f"{i:06d}.bin")
         with open(tdir / "calib" / f"{i:06d}.txt", "w") as f:
             f.write(calib_text)
