@@ -53,9 +53,17 @@ def sample_box_points(box, n, rng):
     return np.stack([gx, gy, gz, refl], 1).astype(np.float32)
 
 
+# per-class (size_low, size_high) for synthetic objects, (w, l, h)
+_CLASS_SIZES = {
+    "Car": ((1.5, 3.4, 1.4), (1.8, 4.4, 1.8)),
+    "Pedestrian": ((0.5, 0.6, 1.6), (0.7, 1.0, 1.9)),
+    "Cyclist": ((0.5, 1.6, 1.6), (0.7, 1.9, 1.8)),
+}
+
+
 def make_scene(rng, n_cars=(3, 8), n_ground=12000,
                x_range=(4.0, 66.0), y_range=(-36.0, 36.0),
-               frustum: bool = False):
+               frustum: bool = False, classes=("Car",)):
     """Returns (points [N,4], boxes [M,7] lidar, types).
 
     With frustum=True the scene mimics a KITTI velodyne_reduced scan: points
@@ -63,19 +71,22 @@ def make_scene(rng, n_cars=(3, 8), n_ground=12000,
     which also keeps voxel counts in the real-data regime.
     """
     m = int(rng.integers(*n_cars))
-    boxes = []
+    boxes, types = [], []
     for _ in range(m):
+        cls = classes[int(rng.integers(len(classes)))]
+        lo, hi = _CLASS_SIZES[cls]
         for _try in range(40):
             b = np.array([
                 rng.uniform(*x_range), rng.uniform(*y_range),
                 rng.uniform(-1.9, -1.5),
-                rng.uniform(1.5, 1.8), rng.uniform(3.4, 4.4),
-                rng.uniform(1.4, 1.8), rng.uniform(-np.pi, np.pi)],
+                rng.uniform(lo[0], hi[0]), rng.uniform(lo[1], hi[1]),
+                rng.uniform(lo[2], hi[2]), rng.uniform(-np.pi, np.pi)],
                 np.float32)
             if frustum and abs(b[1]) > 0.7 * b[0]:
                 continue
             if all(np.hypot(b[0] - o[0], b[1] - o[1]) > 5.0 for o in boxes):
                 boxes.append(b)
+                types.append(cls)
                 break
     boxes = np.stack(boxes) if boxes else np.zeros((0, 7), np.float32)
 
@@ -108,10 +119,10 @@ def make_scene(rng, n_cars=(3, 8), n_ground=12000,
                for b in boxes]
     points = np.concatenate([ground] + obj_pts, 0) if obj_pts else ground
     rng.shuffle(points, axis=0)
-    return points, boxes, ["Car"] * len(boxes)
+    return points, boxes, types
 
 
-def lidar_box_to_label_line(box, calib, score=None) -> str:
+def lidar_box_to_label_line(box, calib, score=None, name="Car") -> str:
     """Lidar box -> KITTI label line (inverse of the dataset's cam->lidar)."""
     from .calib import project_velo_to_rect
     loc = project_velo_to_rect(box[None, :3], calib)[0]
@@ -126,7 +137,7 @@ def lidar_box_to_label_line(box, calib, score=None) -> str:
     x0, y0 = uv.min(0)
     x1, y1 = uv.max(0)
     alpha = float(-np.arctan2(-box[1], box[0]) + ry)
-    fields = ["Car", "0.00", "0", f"{alpha:.2f}",
+    fields = [name, "0.00", "0", f"{alpha:.2f}",
               f"{x0:.2f}", f"{y0:.2f}", f"{x1:.2f}", f"{y1:.2f}",
               f"{h:.2f}", f"{w:.2f}", f"{l:.2f}",
               f"{loc[0]:.2f}", f"{loc[1]:.2f}", f"{loc[2]:.2f}", f"{ry:.2f}"]
@@ -179,7 +190,7 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
 
 
 def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
-                          seed: int = 0):
+                          seed: int = 0, classes=("Car",)):
     """Materialize a synthetic dataset in KITTI directory layout.
 
     root/
@@ -208,11 +219,13 @@ def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
     for i in range(n_train + n_val):
         split = "train" if i < n_train else "val"
         ids[split].append(i)
-        points, boxes, types = make_scene(rng, n_ground=16000, frustum=True)
+        points, boxes, types = make_scene(rng, n_ground=16000, frustum=True,
+                                          classes=classes)
         points.tofile(tdir / "velodyne_reduced" / f"{i:06d}.bin")
         with open(tdir / "calib" / f"{i:06d}.txt", "w") as f:
             f.write(calib_text)
-        lines = [lidar_box_to_label_line(b, calib) for b in boxes]
+        lines = [lidar_box_to_label_line(b, calib, name=t)
+                 for b, t in zip(boxes, types)]
         with open(tdir / "label_2" / f"{i:06d}.txt", "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
     for split, sids in ids.items():
