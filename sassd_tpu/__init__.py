@@ -20,3 +20,17 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+from sassd_tpu.config import (SASSDConfig, car_config, load_config,  # noqa: F401,E402
+                              long_range_config, multi_config, tiny_config)
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import sassd_tpu` light)."""
+    if name in ("detector", "models"):
+        from sassd_tpu import models
+        return models.detector if name == "detector" else models
+    if name == "inference":
+        from sassd_tpu import inference
+        return inference
+    raise AttributeError(name)
