@@ -27,10 +27,10 @@ from sassd_tpu.config import (SASSDConfig, car_config, load_config,  # noqa: F40
 
 def __getattr__(name):
     """Lazy top-level API (keeps `import sassd_tpu` light)."""
-    if name in ("detector", "models"):
-        from sassd_tpu import models
-        return models.detector if name == "detector" else models
-    if name == "inference":
-        from sassd_tpu import inference
-        return inference
+    import importlib
+    if name == "detector":
+        return importlib.import_module("sassd_tpu.models.detector")
+    if name in ("models", "inference", "core", "ops", "data", "eval",
+                "train", "parallel", "utils"):
+        return importlib.import_module(f"sassd_tpu.{name}")
     raise AttributeError(name)
