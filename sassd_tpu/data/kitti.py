@@ -262,7 +262,17 @@ def build_host_plans(cfg: SASSDConfig, coords: np.ndarray
         return {}
     caps = (cfg.voxel.max_voxels,) + tuple(cfg.caps.level_caps[1:])
     plans = native.build_plans_cpp(coords, cfg.sparse_shape, caps)
-    return {f"plan_{k}": v for k, v in plans.items() if k != "n_active"}
+    out = {}
+    for k, v in plans.items():
+        if k == "n_active":
+            continue
+        # int16 transfer when row indices fit: halves host->device traffic
+        # (and, under leaky transfer stacks, host staging retention)
+        if max(caps) < np.iinfo(np.int16).max and k.startswith(
+                ("subm", "stride", "aux")):
+            v = v.astype(np.int16)
+        out[f"plan_{k}"] = v
+    return out
 
 
 def collate(samples: List[Dict[str, np.ndarray]]):

@@ -128,8 +128,9 @@ def _subm_block(p, s, feats, plan, mask, train, cd):
 
 
 def _host_plan(arr):
-    """[B, 27, cap] int32 (-1 = missing) -> SubmPlan."""
-    return sp.SubmPlan(jnp.maximum(arr, 0), arr >= 0)
+    """[B, 27, cap] int (-1 = missing; possibly int16 on the wire) -> SubmPlan."""
+    found = arr >= 0
+    return sp.SubmPlan(jnp.maximum(arr, 0).astype(jnp.int32), found)
 
 
 def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,

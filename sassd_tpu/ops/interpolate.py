@@ -83,7 +83,7 @@ def neighborhood_interpolate(query_xyz: jnp.ndarray,
       [N, C] interpolated features (0 where no candidate exists).
     """
     found = plan_idx >= 0                                     # [27, N]
-    idx = jnp.maximum(plan_idx, 0)
+    idx = jnp.maximum(plan_idx, 0).astype(jnp.int32)
     cand = centers[idx]                                       # [27, N, 3]
     d2 = jnp.sum((cand - query_xyz[None]) ** 2, axis=-1)      # [27, N]
     d2 = jnp.where(found, d2, _BIG)
