@@ -212,3 +212,34 @@ def test_anchors_mask_cpp_matches_numpy():
     y1 = np.clip(np.floor((bv[:, 3] - pcr[1]) / vcfg.voxel_size[1]).astype(int), 0, h - 1)
     area = integral[y1, x1] - integral[y0, x1] - integral[y1, x0] + integral[y0, x0]
     np.testing.assert_array_equal(got, area > 1.0)
+
+
+def test_create_reduced_point_cloud(kitti_root):
+    """velodyne -> frustum-cropped velodyne_reduced (create_data.py:107-165)."""
+    import shutil
+    from sassd_tpu.data import calib as calib_lib
+    tdir = kitti_root / "training"
+    (tdir / "velodyne").mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    # full 360-degree scan: points behind the camera must be cropped
+    pts = np.zeros((5000, 4), np.float32)
+    pts[:, 0] = rng.uniform(-60, 60, 5000)
+    pts[:, 1] = rng.uniform(-60, 60, 5000)
+    pts[:, 2] = rng.uniform(-2, 1, 5000)
+    sid = 0
+    pts.tofile(tdir / "velodyne" / f"{sid:06d}.bin")
+    out = tdir / "velodyne_reduced" / f"{sid:06d}.bin"
+    backup = None
+    if out.exists():
+        backup = out.read_bytes()
+    create_data.create_reduced_point_cloud(kitti_root, splits=("train",))
+    reduced = np.fromfile(out, np.float32).reshape(-1, 4)
+    assert 0 < len(reduced) < len(pts)
+    assert np.all(reduced[:, 0] > 0)       # all in front of the camera
+    cal = calib_lib.Calibration(tdir / "calib" / f"{sid:06d}.txt")
+    uv = calib_lib.project_rect_to_image(
+        calib_lib.project_velo_to_rect(reduced[:, :3], cal), cal)
+    assert np.all((uv[:, 0] >= 0) & (uv[:, 0] < 1242))
+    if backup is not None:
+        out.write_bytes(backup)
+    shutil.rmtree(tdir / "velodyne")
