@@ -53,19 +53,23 @@ def head_init(key, num_output_filters: int, num_class: int,
     }
 
 
-def _flatten(pred, num_class: int, per_anchor: int):
-    """[B,H,W, ncls*2*d] -> [B, ncls*H*W*2, d] (class-major, then y, x, rot)."""
+def _flatten(pred, num_class: int, per_anchor: int, anchors_per_loc: int = 2):
+    """[B,H,W, ncls*apl*d] -> [B, ncls*H*W*apl, d] (class-major, then y, x,
+    anchor) — the reference's view/permute order (ssd_rotate_head.py:218-235)."""
     b, h, w, _ = pred.shape
-    pred = pred.reshape(b, h, w, num_class, 2, per_anchor)
+    pred = pred.reshape(b, h, w, num_class, anchors_per_loc, per_anchor)
     pred = jnp.transpose(pred, (0, 3, 1, 2, 4, 5))
-    return pred.reshape(b, num_class * h * w * 2, per_anchor)
+    return pred.reshape(b, num_class * h * w * anchors_per_loc, per_anchor)
 
 
-def head_apply(params, x, num_class: int, box_code_size: int = 7
-               ) -> HeadOutputs:
-    box = _flatten(L.conv2d(params["conv_box"], x), num_class, box_code_size)
-    cls = _flatten(L.conv2d(params["conv_cls"], x), num_class, num_class)
-    dirp = _flatten(L.conv2d(params["conv_dir"], x), num_class, 2)
+def head_apply(params, x, num_class: int, box_code_size: int = 7,
+               anchors_per_loc: int = 2) -> HeadOutputs:
+    box = _flatten(L.conv2d(params["conv_box"], x), num_class, box_code_size,
+                   anchors_per_loc)
+    cls = _flatten(L.conv2d(params["conv_cls"], x), num_class, num_class,
+                   anchors_per_loc)
+    dirp = _flatten(L.conv2d(params["conv_dir"], x), num_class, 2,
+                    anchors_per_loc)
     return HeadOutputs(box, cls, dirp)
 
 
