@@ -329,6 +329,33 @@ void stride_plan(const Level& Lin, const Level& Lout, int64_t cap,
       }
 }
 
+// Transpose of stride_plan: for each level-(L-1) INPUT row j and tap k, the
+// level-L OUTPUT row it contributed to (i = 2o + off_k  =>  o = (i-off_k)/2
+// when divisible). Drives the gather-based backward of strided convs.
+void stride_plan_T(const Level& Lin, const Level& Lout, int64_t cap,
+                   int32_t* out /* [27, cap] */) {
+  const int64_t n = static_cast<int64_t>(Lin.coords.size()) / 3;
+  int k = 0;
+  for (int dz = -1; dz <= 1; ++dz)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dx = -1; dx <= 1; ++dx, ++k) {
+        int32_t* row = out + static_cast<int64_t>(k) * cap;
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+          const int64_t zz = Lin.coords[i * 3] - dz;
+          const int64_t yy = Lin.coords[i * 3 + 1] - dy;
+          const int64_t xx = Lin.coords[i * 3 + 2] - dx;
+          if ((zz & 1) || (yy & 1) || (xx & 1)) { row[i] = -1; continue; }
+          const int64_t z = zz >> 1, y = yy >> 1, x = xx >> 1;
+          if (z < 0 || z >= Lout.d || y < 0 || y >= Lout.h || x < 0 ||
+              x >= Lout.w) {
+            row[i] = -1;
+            continue;
+          }
+          row[i] = Lout.map.find(key_of(z, y, x, Lout));
+        }
+      }
+}
+
 }  // namespace
 
 extern "C" {
@@ -349,15 +376,18 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
                 int32_t* subm2, int32_t* stride2, int32_t* coords3,
                 int32_t* subm3, int32_t* stride3,
                 int32_t* aux1, int32_t* aux2, int32_t* aux3,
+                int32_t* strideT1, int32_t* strideT2, int32_t* strideT3,
                 int64_t* n_out) {
   // -1-fill all outputs here (int32 -1 is 0xFF bytes): lets the caller hand
   // over uninitialized np.empty buffers (np.full was a measurable cost)
   {
-    int32_t* bufs27[10] = {subm0, subm1, subm2, subm3, stride1, stride2,
-                           stride3, aux1, aux2, aux3};
-    const int64_t caps27[10] = {caps[0], caps[1], caps[2], caps[3], caps[1],
-                                caps[2], caps[3], caps[0], caps[0], caps[0]};
-    for (int b = 0; b < 10; ++b)
+    int32_t* bufs27[13] = {subm0, subm1, subm2, subm3, stride1, stride2,
+                           stride3, aux1, aux2, aux3, strideT1, strideT2,
+                           strideT3};
+    const int64_t caps27[13] = {caps[0], caps[1], caps[2], caps[3], caps[1],
+                                caps[2], caps[3], caps[0], caps[0], caps[0],
+                                caps[0], caps[1], caps[2]};
+    for (int b = 0; b < 13; ++b)
       std::memset(bufs27[b], 0xFF, sizeof(int32_t) * 27 * caps27[b]);
     int32_t* cbufs[3] = {coords1, coords2, coords3};
     for (int b = 0; b < 3; ++b)
@@ -428,6 +458,9 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
     subm_plan(levels[l], caps[l], subm_bufs[l]);
     if (l > 0) stride_plan(levels[l - 1], levels[l], caps[l], stride_bufs[l]);
   }
+  int32_t* strideT_bufs[4] = {nullptr, strideT1, strideT2, strideT3};
+  for (int l = 1; l < 4; ++l)
+    stride_plan_T(levels[l - 1], levels[l], caps[l - 1], strideT_bufs[l]);
   // aux neighborhood plans: level-0 voxel -> 3x3x3 ring of its level-L parent
   const Level& L0 = levels[0];
   const int64_t n0 = static_cast<int64_t>(L0.coords.size()) / 3;

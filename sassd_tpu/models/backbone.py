@@ -181,6 +181,21 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
 
     def down(level, pfx, keys, x, shape, cap, mask, imap):
         out_shape = sp.out_shape_stride2(shape)
+        if host_plans is not None and f"strideT{level}" in host_plans:
+            # gather-based backward via the host transpose plan
+            out_keys = jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
+                                )(host_plans[f"coords{level}"])
+            plan = _host_plan(host_plans[f"stride{level}"])
+            planT = _host_plan(host_plans[f"strideT{level}"])
+            y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
+                cd, f, params[pfx]["conv0"]["w"], i, fo, iT, foT))(
+                x, plan.idx, plan.found, planT.idx, planT.found)
+            omask = out_keys != sp.INVALID_KEY
+            y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
+                                 train=train, mask=omask)
+            y = L.relu(y) * omask[..., None]
+            new_state[pfx] = {"bn0": bs}
+            return out_keys, y, out_shape, omask
         if host_plans is not None:
             out_keys = jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
                                 )(host_plans[f"coords{level}"])

@@ -53,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rotated_overlap.restype = None
     lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
     lib.build_plans.restype = i64
-    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 13 + [i64p]
+    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 16 + [i64p]
     lib.anchors_mask.restype = None
     lib.anchors_mask.argtypes = [i32p, i64, f32p, i64, f32p, f32p, i64p,
                                  ctypes.c_float, u8p]
@@ -130,12 +130,14 @@ def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
         out[f"coords{l}"] = np.empty((int(caps[l]), 3), np.int32)
         out[f"stride{l}"] = np.empty((27, int(caps[l])), np.int32)
         out[f"aux{l}"] = np.empty((27, int(caps[0])), np.int32)
+        out[f"strideT{l}"] = np.empty((27, int(caps[l - 1])), np.int32)
     n_out = np.zeros(4, np.int64)
     lib.build_plans(np.ascontiguousarray(coords0, np.int32), caps, dims,
                     out["subm0"], out["coords1"], out["subm1"],
                     out["stride1"], out["coords2"], out["subm2"],
                     out["stride2"], out["coords3"], out["subm3"],
                     out["stride3"], out["aux1"], out["aux2"], out["aux3"],
+                    out["strideT1"], out["strideT2"], out["strideT3"],
                     n_out)
     out["n_active"] = n_out.astype(np.int32)
     return out

@@ -362,3 +362,38 @@ def to_dense(keys: jnp.ndarray, feats: jnp.ndarray,
     z = jnp.where(coords[:, 0] >= 0, coords[:, 0], d)         # drop padding
     canvas = jnp.zeros((d, h, w, feats.shape[-1]), feats.dtype)
     return canvas.at[z, coords[:, 1], coords[:, 2]].set(feats, mode="drop")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stride_conv_hostT(compute_dtype, feats, weight, idx, found, idxT, foundT):
+    """Strided sparse conv with a gather-based backward.
+
+    Forward is the usual gather-GEMM over the stride plan (idx/found,
+    [27, M_out] rows into the input level). The backward uses the host-built
+    TRANSPOSE plan (idxT/foundT, [27, M_in] rows into the output level;
+    csrc stride_plan_T) so the gradient w.r.t. the input features is a
+    gather + matmul instead of XLA's serialized scatter-add:
+        d_in[i] = sum_k W_k . d_out[(i - off_k)/2]   (when on-grid/active)
+    """
+    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+
+
+def _stride_hostT_fwd(compute_dtype, feats, weight, idx, found, idxT, foundT):
+    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+    return out, (feats, weight, idx, found, idxT, foundT)
+
+
+def _stride_hostT_bwd(compute_dtype, res, d_out):
+    feats, weight, idx, found, idxT, foundT = res
+    k, cin, cout = weight.shape
+    col = gather_im2col(feats, SubmPlan(idx, found), dtype=compute_dtype)
+    dw = jnp.dot(col.T, d_out.astype(compute_dtype),
+                 preferred_element_type=jnp.float32).reshape(k, cin, cout)
+    colT = gather_im2col(d_out, SubmPlan(idxT, foundT), dtype=compute_dtype)
+    wT = weight.transpose(0, 2, 1).reshape(k * cout, cin).astype(compute_dtype)
+    d_feats = jnp.dot(colT, wT, preferred_element_type=jnp.float32)
+    return (d_feats.astype(feats.dtype), dw.astype(weight.dtype),
+            None, None, None, None)
+
+
+stride_conv_hostT.defvjp(_stride_hostT_fwd, _stride_hostT_bwd)

@@ -131,3 +131,39 @@ def test_dense_tail_matches_sparse_path():
         assert m_s.keys() == m_d.keys()
         for k in m_s:
             np.testing.assert_allclose(m_s[k], m_d[k], atol=3e-4)
+
+
+def test_stride_hostT_grad_matches_autodiff():
+    """Transpose-plan backward == autodiff of the plain gather stride conv."""
+    import jax
+    cfg, coords, n = make_inputs(9)
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    rng = np.random.default_rng(4)
+    cin, cout = 8, 6
+    feats = jnp.asarray(rng.normal(size=(coords.shape[0], cin))
+                        .astype(np.float32))
+    # zero padded rows
+    feats = feats * (jnp.asarray(coords[:, 0]) >= 0)[:, None]
+    weight = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    idx = jnp.maximum(jnp.asarray(plans["stride1"]), 0)
+    found = jnp.asarray(plans["stride1"]) >= 0
+    idxT = jnp.maximum(jnp.asarray(plans["strideT1"]), 0)
+    foundT = jnp.asarray(plans["strideT1"]) >= 0
+    cot = jnp.asarray(rng.normal(size=(idx.shape[1], cout)).astype(np.float32))
+    cot = cot * (jnp.asarray(plans["coords1"][:, 0]) >= 0)[:, None]
+
+    def f_custom(f, w):
+        return jnp.vdot(sp.stride_conv_hostT(
+            jnp.float32, f, w, idx, found, idxT, foundT), cot)
+
+    def f_raw(f, w):
+        return jnp.vdot(sp.subm_conv(f, w, sp.SubmPlan(idx, found),
+                                     symmetric=False), cot)
+
+    gf_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, weight)
+    gf_r, gw_r = jax.grad(f_raw, argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                               rtol=1e-4, atol=1e-4)
