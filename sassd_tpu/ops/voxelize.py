@@ -178,3 +178,45 @@ def bound_points_np(points: np.ndarray, pcr: Sequence[float]) -> np.ndarray:
          & (points[:, 1] >= pcr[1]) & (points[:, 1] < pcr[4])
          & (points[:, 2] >= pcr[2]) & (points[:, 2] < pcr[5]))
     return points[m]
+
+
+def points_to_bev_np(points: np.ndarray, cfg: VoxelConfig) -> np.ndarray:
+    """Handcrafted BEV raster: per-z occupancy + max intensity + point density.
+
+    Capability parity with points_to_bev_kernel (/root/reference/mmdet/ops/
+    points_op/src/points_op.cpp:18-61; unused by the reference's active
+    configs): returns [Z+2, H, W] where channels [0..Z) are per-z-bin
+    occupancy, channel Z is the max reflectance and channel Z+1 the point
+    count of each BEV cell.
+    """
+    gx, gy, gz = (int(g) for g in cfg.grid_size)
+    pcr = np.asarray(cfg.point_cloud_range, np.float32)
+    vs = np.asarray(cfg.voxel_size, np.float32)
+    c = np.floor((points[:, :3] - pcr[:3]) / vs).astype(np.int64)
+    ok = np.all((c >= 0) & (c < np.array([gx, gy, gz])), axis=1)
+    x, y, z = c[ok, 0], c[ok, 1], c[ok, 2]
+    bev = np.zeros((gz + 2, gy, gx), np.float32)
+    bev[z, y, x] = 1.0
+    np.maximum.at(bev[gz], (y, x), points[ok, 3])
+    np.add.at(bev[gz + 1], (y, x), 1.0)
+    return bev
+
+
+def points_to_bev_jax(points: jnp.ndarray, valid: jnp.ndarray,
+                      cfg: VoxelConfig) -> jnp.ndarray:
+    """Jittable points_to_bev_np (fixed [N,4] input + valid mask)."""
+    gx, gy, gz = (int(g) for g in cfg.grid_size)
+    pcr = jnp.asarray(cfg.point_cloud_range, jnp.float32)
+    vs = jnp.asarray(cfg.voxel_size, jnp.float32)
+    c = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+    ok = valid & jnp.all((c >= 0) & (c < jnp.array([gx, gy, gz])), axis=1)
+    x = jnp.where(ok, c[:, 0], 0)
+    y = jnp.where(ok, c[:, 1], 0)
+    z = jnp.where(ok, c[:, 2], 0)
+    occ = jnp.zeros((gz, gy, gx), jnp.float32).at[z, y, x].max(
+        ok.astype(jnp.float32))
+    inten = jnp.zeros((gy, gx), jnp.float32).at[y, x].max(
+        jnp.where(ok, points[:, 3], 0.0))
+    dens = jnp.zeros((gy, gx), jnp.float32).at[y, x].add(
+        ok.astype(jnp.float32))
+    return jnp.concatenate([occ, inten[None], dens[None]], axis=0)

@@ -243,3 +243,54 @@ def test_create_reduced_point_cloud(kitti_root):
     if backup is not None:
         out.write_bytes(backup)
     shutil.rmtree(tdir / "velodyne")
+
+
+def test_points_to_bev_matches_reference_semantics():
+    from sassd_tpu.ops.voxelize import (VoxelConfig, points_to_bev_np,
+                                        points_to_bev_jax)
+    cfg = VoxelConfig(voxel_size=(0.5, 0.5, 0.5),
+                      point_cloud_range=(0, 0, 0, 4, 4, 2),
+                      max_num_points=5, max_voxels=100)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 4.5, (200, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.2, 2.2, 200)
+    pts[:, 3] = rng.uniform(0, 1, 200)
+    bev = points_to_bev_np(pts, cfg)
+    gz, gy, gx = 4, 8, 8
+    assert bev.shape == (gz + 2, gy, gx)
+    # brute-force oracle
+    occ = np.zeros((gz, gy, gx)); inten = np.zeros((gy, gx))
+    dens = np.zeros((gy, gx))
+    for p in pts:
+        c = np.floor(p[:3] / 0.5).astype(int)
+        if np.any(c < 0) or c[0] >= gx or c[1] >= gy or c[2] >= gz:
+            continue
+        occ[c[2], c[1], c[0]] = 1
+        inten[c[1], c[0]] = max(inten[c[1], c[0]], p[3])
+        dens[c[1], c[0]] += 1
+    np.testing.assert_allclose(bev[:gz], occ)
+    np.testing.assert_allclose(bev[gz], inten)
+    np.testing.assert_allclose(bev[gz + 1], dens)
+    import jax.numpy as jnp
+    bev_j = np.asarray(points_to_bev_jax(
+        jnp.asarray(pts), jnp.ones(200, bool), cfg))
+    np.testing.assert_allclose(bev_j, bev, atol=1e-6)
+
+
+def test_image_transform():
+    from sassd_tpu.data.image import ImageTransform, imrescale, bbox_flip
+    rng = np.random.default_rng(1)
+    img = (rng.uniform(0, 255, (100, 140, 3))).astype(np.uint8)
+    tf = ImageTransform(mean=(10, 20, 30), std=(2, 2, 2), to_rgb=True,
+                        size_divisor=32)
+    out, shape, pad_shape, f = tf(img, 0.5, flip=True)
+    assert out.shape[0] == 3 and out.ndim == 3
+    assert shape[:2] == (50, 70)
+    assert pad_shape[0] % 32 == 0 and pad_shape[1] % 32 == 0
+    # identity rescale returns the image unchanged
+    same, f1 = imrescale(img, 1.0)
+    assert f1 == 1.0
+    np.testing.assert_allclose(same, img.astype(np.float32), atol=1e-4)
+    # bbox flip round-trips
+    b = np.array([[3.0, 5.0, 20.0, 30.0]])
+    np.testing.assert_allclose(bbox_flip(bbox_flip(b, (50, 70)), (50, 70)), b)
