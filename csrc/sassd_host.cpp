@@ -14,6 +14,7 @@
 // All rotations use the clockwise-positive yaw convention (KITTI lidar).
 // Exposed via a plain C ABI for ctypes; built by csrc/Makefile.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -442,6 +443,32 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
                           static_cast<int32_t>(o[2])});
       }
     }
+  }
+  // Sort each downsampled level by linear key so x-consecutive actives
+  // occupy adjacent rows — required by the engine's packed triple gather.
+  // (Level 0 must arrive key-sorted from the caller; the voxelizer sorts.)
+  for (int l = 1; l < 4; ++l) {
+    Level& L = levels[l];
+    const int64_t n = static_cast<int64_t>(L.coords.size()) / 3;
+    std::vector<int64_t> keyv(n);
+    std::vector<int32_t> order(n);
+    for (int64_t i = 0; i < n; ++i) {
+      keyv[i] = key_of(L.coords[i * 3], L.coords[i * 3 + 1],
+                       L.coords[i * 3 + 2], L);
+      order[i] = static_cast<int32_t>(i);
+    }
+    std::sort(order.begin(), order.end(),
+              [&](int32_t a, int32_t b) { return keyv[a] < keyv[b]; });
+    std::vector<int32_t> nc(n * 3);
+    L.map.init(caps[l]);
+    for (int64_t r = 0; r < n; ++r) {
+      const int32_t i = order[r];
+      nc[r * 3] = L.coords[i * 3];
+      nc[r * 3 + 1] = L.coords[i * 3 + 1];
+      nc[r * 3 + 2] = L.coords[i * 3 + 2];
+      L.map.insert(keyv[i], static_cast<int32_t>(r));
+    }
+    L.coords.swap(nc);
   }
   // write outputs
   int32_t* coord_bufs[4] = {nullptr, coords1, coords2, coords3};

@@ -71,6 +71,10 @@ class ModelConfig:
                                        # masked dense convs on the MXU
                                        # (exact subm semantics, much faster
                                        # than gathers at those resolutions)
+    triple_gather: bool = True         # pack the 3 x-consecutive taps of
+                                       # each kernel row into ONE wide
+                                       # gathered row (3x fewer gather rows;
+                                       # needs the key-sorted host plans)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -162,59 +162,142 @@ def gather_im2col(feats: jnp.ndarray, plan: SubmPlan,
     return out.astype(dtype) if dtype is not None else out
 
 
+def _shift_cat3(feats: jnp.ndarray) -> jnp.ndarray:
+    """[M, C] -> [M, 3C]: row r holds rows r, r+1, r+2 (zero-padded tail)."""
+    z1 = jnp.zeros((1,) + feats.shape[1:], feats.dtype)
+    s1 = jnp.concatenate([feats[1:], z1], 0)
+    s2 = jnp.concatenate([feats[2:], z1, z1], 0)
+    return jnp.concatenate([feats, s1, s2], axis=-1)
+
+
+def gather_im2col_triple(feats: jnp.ndarray, plan: SubmPlan,
+                         dtype=None) -> jnp.ndarray:
+    """gather_im2col with 3x fewer gathered rows via x-run packing.
+
+    Requires (a) the level array be SORTED by key with unique keys and
+    INVALID padding at the end, and (b) each consecutive group of 3 taps in
+    the plan query x-consecutive cells (ascending, unit key steps) — true
+    for subm and stride plans in the (dz, dy, dx)-fastest offset order.
+
+    Then any active cells among a group's 3 queried keys occupy ADJACENT
+    rows (sorted unique keys leave no room between K-1, K, K+1), so ONE
+    3C-wide row gathered at the first active row covers the whole group.
+    XLA's gather cost is per-row and width-independent, so this cuts the
+    gather time of every sparse conv ~3x. The tap features are recovered
+    from the wide row with elementwise selects (VPU-cheap).
+    """
+    k, m = plan.idx.shape
+    c = feats.shape[-1]
+    T = _shift_cat3(feats)
+    i3 = plan.idx.reshape(-1, 3, m)
+    f3 = plan.found.reshape(-1, 3, m)
+    f0, f1, f2 = f3[:, 0, :, None], f3[:, 1, :, None], f3[:, 2, :, None]
+    r = jnp.where(f3[:, 0], i3[:, 0], jnp.where(f3[:, 1], i3[:, 1], i3[:, 2]))
+    G = T[r.reshape(-1)].reshape(k // 3, m, 3 * c)
+    g0, g1, g2 = G[..., :c], G[..., c:2 * c], G[..., 2 * c:]
+    t0 = jnp.where(f0, g0, 0)
+    t1 = jnp.where(f1, jnp.where(f0, g1, g0), 0)
+    nbefore = f0.astype(jnp.int32) + f1.astype(jnp.int32)
+    gh = jnp.where(nbefore == 0, g0, jnp.where(nbefore == 1, g1, g2))
+    t2 = jnp.where(f2, gh, 0)
+    taps = jnp.stack([t0, t1, t2], axis=1).reshape(k, m, c)
+    out = jnp.transpose(taps, (1, 0, 2)).reshape(m, -1)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def gather_im2col_strideT3(feats: jnp.ndarray, plan: SubmPlan,
+                           dtype=None) -> jnp.ndarray:
+    """Packed gather for TRANSPOSE stride plans (csrc stride_plan_T).
+
+    Within a (dz, dy) group the taps query coarse cells (x+1)/2, x/2,
+    (x-1)/2 under per-axis parity: the middle tap (x even) is exclusive
+    with the outer taps (x odd), and when the outer pair is live it queries
+    two consecutive coarse keys in DESCENDING order (tap0 = tap2's key + 1).
+    Same sorted-adjacency argument as gather_im2col_triple.
+    """
+    k, m = plan.idx.shape
+    c = feats.shape[-1]
+    T = _shift_cat3(feats)
+    i3 = plan.idx.reshape(-1, 3, m)
+    f3 = plan.found.reshape(-1, 3, m)
+    f0, f1, f2 = f3[:, 0, :, None], f3[:, 1, :, None], f3[:, 2, :, None]
+    r = jnp.where(f3[:, 1], i3[:, 1], jnp.where(f3[:, 2], i3[:, 2], i3[:, 0]))
+    G = T[r.reshape(-1)].reshape(k // 3, m, 3 * c)
+    g0, g1 = G[..., :c], G[..., c:2 * c]
+    t1 = jnp.where(f1, g0, 0)
+    t2 = jnp.where(f2, g0, 0)
+    t0 = jnp.where(f0, jnp.where(f2, g1, g0), 0)
+    taps = jnp.stack([t0, t1, t2], axis=1).reshape(k, m, c)
+    out = jnp.transpose(taps, (1, 0, 2)).reshape(m, -1)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def _gather(feats, plan: SubmPlan, dtype, triple: bool, kind: str = "subm"):
+    if triple and plan.idx.shape[0] % 3 == 0:
+        if kind == "strideT":
+            return gather_im2col_strideT3(feats, plan, dtype=dtype)
+        return gather_im2col_triple(feats, plan, dtype=dtype)
+    return gather_im2col(feats, plan, dtype=dtype)
+
+
 def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, plan: SubmPlan,
               compute_dtype=jnp.float32,
-              symmetric: bool = True) -> jnp.ndarray:
+              symmetric: bool = True, triple: bool = False) -> jnp.ndarray:
     """Submanifold sparse conv: im2col gather + one MXU matmul.
 
     weight: [K, Cin, Cout].
 
     With `symmetric=True` (valid ONLY when the plan's input and output sets
     are the same — true submanifold convs) a custom VJP turns the backward
-    gather-transpose into another GATHER with the mirrored kernel offsets
-    instead of XLA's serialized scatter-add:
-        d_in[j] = sum_k W_k . d_out[j - off_k] = sum_k W_k . d_out[n_{K-1-k}(j)]
+    gather-transpose into another GATHER with the kernel offsets reversed
+    on the weight side instead of XLA's serialized scatter-add:
+        d_in[j] = sum_k W_k . d_out[n_{K-1-k}(j)] = sum_m W_{K-1-m} . d_out[n_m(j)]
     because the offset list is antisymmetric under reversal. Pass
     symmetric=False for stride plans (different in/out sets).
+
+    `triple=True` enables the packed gather (see gather_im2col_triple) —
+    valid only when the plan's level arrays are key-sorted (host plans).
     """
     if symmetric:
-        return _subm_conv_sym(compute_dtype, feats, weight, plan.idx,
+        return _subm_conv_sym(compute_dtype, triple, feats, weight, plan.idx,
                               plan.found)
-    return _subm_conv_raw(feats, weight, plan, compute_dtype)
+    return _subm_conv_raw(feats, weight, plan, compute_dtype, triple)
 
 
-def _subm_conv_raw(feats, weight, plan: SubmPlan, compute_dtype):
+def _subm_conv_raw(feats, weight, plan: SubmPlan, compute_dtype,
+                   triple: bool = False):
     k, cin, cout = weight.shape
-    col = gather_im2col(feats, plan, dtype=compute_dtype)
+    col = _gather(feats, plan, compute_dtype, triple)
     w2 = weight.reshape(k * cin, cout).astype(compute_dtype)
     return jnp.dot(col, w2, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _subm_conv_sym(compute_dtype, feats, weight, idx, found):
-    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _subm_conv_sym(compute_dtype, triple, feats, weight, idx, found):
+    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
+                          triple)
 
 
-def _subm_conv_sym_fwd(compute_dtype, feats, weight, idx, found):
-    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+def _subm_conv_sym_fwd(compute_dtype, triple, feats, weight, idx, found):
+    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
+                         triple)
     return out, (feats, weight, idx, found)
 
 
-def _subm_conv_sym_bwd(compute_dtype, res, d_out):
+def _subm_conv_sym_bwd(compute_dtype, triple, res, d_out):
     feats, weight, idx, found = res
     k, cin, cout = weight.shape
     plan = SubmPlan(idx, found)
     # dW: recompute the forward im2col (cheaper than storing it)
-    col = gather_im2col(feats, plan, dtype=compute_dtype)
+    col = _gather(feats, plan, compute_dtype, triple)
     dw = jnp.dot(col.T, d_out.astype(compute_dtype),
                  preferred_element_type=jnp.float32).reshape(k, cin, cout)
-    # d_feats: gather d_out with the MIRRORED plan, contract with W^T.
-    # Slot m of the mirrored im2col holds d_out[n_{K-1-m}(j)], whose
-    # coefficient in d_in[j] = sum_k W_k . d_out[n_{K-1-k}(j)] is W_m —
-    # so the weights stay in order, only transposed.
-    mirror = SubmPlan(idx[::-1], found[::-1])
-    col_b = gather_im2col(d_out, mirror, dtype=compute_dtype)
-    wb = weight.transpose(0, 2, 1).reshape(
+    # d_feats: gather d_out with the SAME plan, contract with the kernel-
+    # reversed transposed weights: slot m of the im2col holds d_out[n_m(j)],
+    # whose coefficient in d_in[j] = sum_k W_k . d_out[n_{K-1-k}(j)] is
+    # W_{K-1-m} — so reverse the tap axis on the weight side.
+    col_b = _gather(d_out, plan, compute_dtype, triple)
+    wb = weight[::-1].transpose(0, 2, 1).reshape(
         k * cout, cin).astype(compute_dtype)
     d_feats = jnp.dot(col_b, wb, preferred_element_type=jnp.float32)
     d_feats = d_feats.astype(feats.dtype)
@@ -364,8 +447,9 @@ def to_dense(keys: jnp.ndarray, feats: jnp.ndarray,
     return canvas.at[z, coords[:, 1], coords[:, 2]].set(feats, mode="drop")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def stride_conv_hostT(compute_dtype, feats, weight, idx, found, idxT, foundT):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def stride_conv_hostT(compute_dtype, triple, feats, weight, idx, found,
+                      idxT, foundT):
     """Strided sparse conv with a gather-based backward.
 
     Forward is the usual gather-GEMM over the stride plan (idx/found,
@@ -375,21 +459,25 @@ def stride_conv_hostT(compute_dtype, feats, weight, idx, found, idxT, foundT):
     gather + matmul instead of XLA's serialized scatter-add:
         d_in[i] = sum_k W_k . d_out[(i - off_k)/2]   (when on-grid/active)
     """
-    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+    return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
+                          triple)
 
 
-def _stride_hostT_fwd(compute_dtype, feats, weight, idx, found, idxT, foundT):
-    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype)
+def _stride_hostT_fwd(compute_dtype, triple, feats, weight, idx, found,
+                      idxT, foundT):
+    out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
+                         triple)
     return out, (feats, weight, idx, found, idxT, foundT)
 
 
-def _stride_hostT_bwd(compute_dtype, res, d_out):
+def _stride_hostT_bwd(compute_dtype, triple, res, d_out):
     feats, weight, idx, found, idxT, foundT = res
     k, cin, cout = weight.shape
-    col = gather_im2col(feats, SubmPlan(idx, found), dtype=compute_dtype)
+    col = _gather(feats, SubmPlan(idx, found), compute_dtype, triple)
     dw = jnp.dot(col.T, d_out.astype(compute_dtype),
                  preferred_element_type=jnp.float32).reshape(k, cin, cout)
-    colT = gather_im2col(d_out, SubmPlan(idxT, foundT), dtype=compute_dtype)
+    colT = _gather(d_out, SubmPlan(idxT, foundT), compute_dtype, triple,
+                   kind="strideT")
     wT = weight.transpose(0, 2, 1).reshape(k * cout, cin).astype(compute_dtype)
     d_feats = jnp.dot(colT, wT, preferred_element_type=jnp.float32)
     return (d_feats.astype(feats.dtype), dw.astype(weight.dtype),

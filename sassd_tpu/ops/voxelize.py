@@ -64,6 +64,10 @@ def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
       pad: if True, zero-pad outputs to [max_voxels, ...] static shapes.
     Returns:
       voxels [M, T, F] float32, coords [M, 3] int32 (zyx), num_points [M] int32.
+      Rows are SORTED ascending by linearized zyx key (padding last) — the
+      sparse engine's packed triple gather relies on x-consecutive active
+      cells occupying adjacent rows. Per-voxel contents and the max_voxels
+      truncation keep the reference's first-come semantics.
     """
     if use_native:
         from . import native
@@ -72,6 +76,7 @@ def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
                 points, np.asarray(cfg.point_cloud_range[:3], np.float32),
                 np.asarray(cfg.voxel_size, np.float32),
                 cfg.grid_size, cfg.max_num_points, cfg.max_voxels)
+            v, c, n = _sort_rows_by_key(v, c, n, cfg.grid_size)
             if pad:
                 return v, c, n
             return v[:m], c[:m], n[:m]
@@ -112,6 +117,8 @@ def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
     cc = c[first_idx[order[:m]]]
     coords[:, 0], coords[:, 1], coords[:, 2] = cc[:, 2], cc[:, 1], cc[:, 0]
 
+    voxels, coords, num_points = _sort_rows_by_key(
+        voxels, coords, num_points, grid)
     if pad and m < Vmax:
         voxels = np.concatenate(
             [voxels, np.zeros((Vmax - m, T, points.shape[1]), np.float32)])
@@ -120,6 +127,16 @@ def voxelize_np(points: np.ndarray, cfg: VoxelConfig,
         num_points = np.concatenate(
             [num_points, np.zeros(Vmax - m, np.int32)])
     return voxels, coords, num_points
+
+
+def _sort_rows_by_key(voxels, coords, nums, grid_xyz):
+    """Reorder voxel rows ascending by (z*H + y)*W + x; -1 padding sinks last."""
+    gx, gy = int(grid_xyz[0]), int(grid_xyz[1])
+    z = coords[:, 0].astype(np.int64)
+    key = (z * gy + coords[:, 1]) * gx + coords[:, 2]
+    key = np.where(z >= 0, key, np.iinfo(np.int64).max)
+    perm = np.argsort(key, kind="stable")
+    return voxels[perm], coords[perm], nums[perm]
 
 
 def voxelize_jax(points: jnp.ndarray, valid: jnp.ndarray, cfg: VoxelConfig):

@@ -153,17 +153,82 @@ def test_stride_hostT_grad_matches_autodiff():
     cot = jnp.asarray(rng.normal(size=(idx.shape[1], cout)).astype(np.float32))
     cot = cot * (jnp.asarray(plans["coords1"][:, 0]) >= 0)[:, None]
 
-    def f_custom(f, w):
-        return jnp.vdot(sp.stride_conv_hostT(
-            jnp.float32, f, w, idx, found, idxT, foundT), cot)
-
     def f_raw(f, w):
         return jnp.vdot(sp.subm_conv(f, w, sp.SubmPlan(idx, found),
                                      symmetric=False), cot)
 
-    gf_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, weight)
     gf_r, gw_r = jax.grad(f_raw, argnums=(0, 1))(feats, weight)
-    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
-                               rtol=1e-4, atol=1e-4)
+    for triple in (False, True):
+        def f_custom(f, w):
+            return jnp.vdot(sp.stride_conv_hostT(
+                jnp.float32, triple, f, w, idx, found, idxT, foundT), cot)
+
+        gf_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, weight)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
+
+
+def test_triple_gather_matches_standard():
+    """Packed x-run gather == plain 27-row gather on key-sorted host plans."""
+    cfg, coords, n = make_inputs(11)
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    rng = np.random.default_rng(12)
+
+    def feats_for(cap):
+        return jnp.asarray(rng.normal(size=(cap, 5)).astype(np.float32))
+
+    def as_plan(arr):
+        return sp.SubmPlan(jnp.maximum(jnp.asarray(arr), 0),
+                           jnp.asarray(arr) >= 0)
+
+    f0 = feats_for(coords.shape[0])
+    f1 = feats_for(plans["coords1"].shape[0])
+    f2 = feats_for(plans["coords2"].shape[0])
+    cases = [("subm0", f0), ("subm1", f1), ("subm2", f2),
+             ("stride1", f0), ("stride2", f1)]
+    for name, feats in cases:
+        plan = as_plan(plans[name])
+        a = np.asarray(sp.gather_im2col(feats, plan))
+        b = np.asarray(sp.gather_im2col_triple(feats, plan))
+        np.testing.assert_allclose(b, a, atol=0, err_msg=name)
+    for name, feats in [("strideT1", f1), ("strideT2", f2)]:
+        plan = as_plan(plans[name])
+        a = np.asarray(sp.gather_im2col(feats, plan))
+        b = np.asarray(sp.gather_im2col_strideT3(feats, plan))
+        np.testing.assert_allclose(b, a, atol=0, err_msg=name)
+
+
+def test_subm_sym_triple_grad_matches_autodiff():
+    """Symmetric custom VJP with triple gather == autodiff on host subm plan."""
+    import jax
+    cfg, coords, n = make_inputs(13)
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    rng = np.random.default_rng(14)
+    feats = jnp.asarray(rng.normal(size=(coords.shape[0], 6))
+                        .astype(np.float32))
+    feats = feats * (jnp.asarray(coords[:, 0]) >= 0)[:, None]
+    weight = jnp.asarray(rng.normal(size=(27, 6, 5)).astype(np.float32))
+    idx = jnp.maximum(jnp.asarray(plans["subm0"]), 0)
+    found = jnp.asarray(plans["subm0"]) >= 0
+    cot = jnp.asarray(rng.normal(size=(coords.shape[0], 5)).astype(np.float32))
+    cot = cot * (jnp.asarray(coords[:, 0]) >= 0)[:, None]
+
+    def f_ref(f, w):
+        return jnp.vdot(sp._subm_conv_raw(f, w, sp.SubmPlan(idx, found),
+                                          jnp.float32), cot)
+
+    gf_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(feats, weight)
+    for triple in (False, True):
+        def f_c(f, w):
+            return jnp.vdot(sp.subm_conv(f, w, sp.SubmPlan(idx, found),
+                                         triple=triple), cot)
+
+        gf, gw = jax.grad(f_c, argnums=(0, 1))(feats, weight)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")

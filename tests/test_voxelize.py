@@ -50,13 +50,27 @@ def random_points(seed, n=3000):
     return pts
 
 
+def sort_like_engine(vox, coords, nums, cfg):
+    """Reorder reference-loop output by zyx key (voxelize_np row order)."""
+    g = cfg.grid_size
+    key = (coords[:, 0].astype(np.int64) * g[1] + coords[:, 1]) * g[0] \
+        + coords[:, 2]
+    perm = np.argsort(key, kind="stable")
+    return vox[perm], coords[perm], nums[perm]
+
+
 def test_voxelize_np_matches_reference_loop():
     pts = random_points(0)
     vox, coords, nums = V.voxelize_np(pts, CFG)
-    rvox, rcoords, rnums = reference_voxelize(pts, CFG)
+    rvox, rcoords, rnums = sort_like_engine(*reference_voxelize(pts, CFG), CFG)
     np.testing.assert_array_equal(coords, rcoords)
     np.testing.assert_array_equal(nums, rnums)
     np.testing.assert_allclose(vox, rvox, atol=0)
+    # rows must come out key-sorted (the packed gather contract)
+    g = CFG.grid_size
+    key = (coords[:, 0].astype(np.int64) * g[1] + coords[:, 1]) * g[0] \
+        + coords[:, 2]
+    assert np.all(np.diff(key) > 0)
 
 
 def test_voxelize_np_max_voxels_cap():
@@ -65,7 +79,7 @@ def test_voxelize_np_max_voxels_cap():
                         max_num_points=2, max_voxels=50)
     pts = random_points(1)
     vox, coords, nums = V.voxelize_np(pts, cfg)
-    rvox, rcoords, rnums = reference_voxelize(pts, cfg)
+    rvox, rcoords, rnums = sort_like_engine(*reference_voxelize(pts, cfg), cfg)
     assert len(coords) == 50
     np.testing.assert_array_equal(coords, rcoords)
     np.testing.assert_allclose(vox, rvox, atol=0)
