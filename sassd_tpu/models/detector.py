@@ -89,6 +89,7 @@ class SpineOut(NamedTuple):
     points_valid: jnp.ndarray  # [B, V]
     new_state: dict
     aux_plans: dict            # host 3-NN neighborhood plans (may be empty)
+    coords0: jnp.ndarray       # [B, V, 3] level-0 zyx voxel cells
 
 
 def _compute_dtype(cfg: SASSDConfig):
@@ -161,7 +162,7 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         aux_plans = {k: v for k, v in host_plans.items()
                      if k.startswith("aux")}
     return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
-                    new_state, aux_plans)
+                    new_state, aux_plans, batch["coords"])
 
 
 # ---------------------------------------------------------------------------
@@ -184,15 +185,18 @@ def aux_forward(params, spine: SpineOut, cfg: SASSDConfig):
     for lvl, ((keys, feats, shape), mult) in enumerate(
             zip(spine.middles, _LEVEL_VOXEL_MULT), start=1):
         vs = vs0 * mult
-        coords = jax.vmap(lambda k: sp.keys_to_coords(k, shape))(keys)
-        centers = (coords[..., [2, 1, 0]].astype(jnp.float32) + 0.5) * vs + pcr
-
         aux_plan = spine.aux_plans.get(f"aux{lvl}") if spine.aux_plans else None
         if aux_plan is not None:
-            # host-rulebook neighborhood 3-NN (fast path)
-            interp = jax.vmap(interpolate.neighborhood_interpolate)(
-                spine.points_mean, centers, feats, aux_plan)
+            # host-rulebook neighborhood 3-NN; candidate centers are
+            # arithmetic in the plan layout, so no center gather at all
+            interp = jax.vmap(
+                lambda q, c0, f, pl: interpolate.neighborhood_interpolate_cells(
+                    q, c0, lvl, f, pl, vs, pcr)
+            )(spine.points_mean, spine.coords0, feats, aux_plan)
         else:
+            coords = jax.vmap(lambda k: sp.keys_to_coords(k, shape))(keys)
+            centers = (coords[..., [2, 1, 0]].astype(jnp.float32) + 0.5) * vs \
+                + pcr
             kvalid = keys != sp.INVALID_KEY
             interp = jax.vmap(
                 lambda u, kx, kv, kf: interpolate.three_nn_interpolate(

@@ -96,3 +96,62 @@ def neighborhood_interpolate(query_xyz: jnp.ndarray,
     w = w / jnp.where(denom > 0, denom, 1.0)
     f = feats[rows]                                           # [N, 3, C]
     return jnp.sum(f * w[..., None], axis=1)
+
+
+_OFFSETS27 = None
+
+
+def _offsets27():
+    """Cache NUMPY (not jnp — a traced constant would leak across jits)."""
+    global _OFFSETS27
+    if _OFFSETS27 is None:
+        import numpy as np
+        r = np.arange(3) - 1
+        _OFFSETS27 = np.stack(np.meshgrid(r, r, r, indexing="ij"),
+                              -1).reshape(-1, 3).astype(np.int32)
+    return jnp.asarray(_OFFSETS27)
+
+
+def neighborhood_interpolate_cells(query_xyz: jnp.ndarray,
+                                   query_cell0: jnp.ndarray,
+                                   level: int,
+                                   feats: jnp.ndarray,
+                                   plan_idx: jnp.ndarray,
+                                   voxel_size_xyz,
+                                   pc_min_xyz) -> jnp.ndarray:
+    """neighborhood_interpolate without the candidate-center gather.
+
+    The candidate cells of aux plan tap k are STRUCTURAL: (query's level-0
+    cell >> level) + off_k (csrc build_plans aux plans), so their metric
+    centers are arithmetic in the plan layout — no [27, N] row gather of
+    center coordinates is needed at all, only the final [N, 3] feature
+    gather of the selected neighbors. Distances are computed with the same
+    (cell + 0.5) * voxel_size + pc_min formula as tensor2points
+    (/root/reference/mmdet/core/bbox/transforms.py:218-223), on the exact
+    integer parent cell, so selections match neighborhood_interpolate.
+
+    Args:
+      query_xyz: [N, 3] query positions (input-voxel centroids).
+      query_cell0: [N, 3] int32 zyx level-0 cells of the queries (-1 pad).
+      level: pyramid level of `feats` (cells are level-0 cells >> level).
+      feats: [M, C]; plan_idx: [27, N] rows into feats (-1 = missing).
+      voxel_size_xyz / pc_min_xyz: the LEVEL's voxel size and grid origin.
+    """
+    vs = jnp.asarray(voxel_size_xyz, jnp.float32)
+    pcr = jnp.asarray(pc_min_xyz, jnp.float32)
+    parent = query_cell0 >> level                              # [N, 3] zyx
+    cand = parent[None] + _offsets27()[:, None, :]             # [27, N, 3]
+    centers = (cand[..., ::-1].astype(jnp.float32) + 0.5) * vs + pcr
+    found = plan_idx >= 0
+    idx = jnp.maximum(plan_idx, 0).astype(jnp.int32)
+    d2 = jnp.sum((centers - query_xyz[None]) ** 2, axis=-1)    # [27, N]
+    d2 = jnp.where(found, d2, _BIG)
+    neg, sel = jax.lax.top_k(-d2.T, 3)                         # [N, 3]
+    d2_3 = -neg
+    rows = jnp.take_along_axis(idx.T, sel, axis=1)             # [N, 3]
+    ok = jnp.take_along_axis(found.T, sel, axis=1)
+    w = jnp.where(ok, 1.0 / (d2_3 + 1e-8), 0.0)
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    w = w / jnp.where(denom > 0, denom, 1.0)
+    f = feats[rows]                                            # [N, 3, C]
+    return jnp.sum(f * w[..., None], axis=1)

@@ -146,3 +146,49 @@ def test_neighborhood_interpolation_matches_exact():
     # agreement on valid queries (allow rare isolated-voxel divergences)
     diff = np.abs(exact[ok] - nbhd[ok]).max(axis=1)
     assert (diff < 1e-3).mean() > 0.97, (diff < 1e-3).mean()
+
+
+def test_neighborhood_cells_matches_gathered():
+    """Arithmetic candidate centers == gathered centers (same selections)."""
+    from sassd_tpu.ops import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tiny_config import tiny_config
+    from sassd_tpu.ops import sparse as sp
+    from sassd_tpu.ops import interpolate as I
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(21)
+    d, h, w = cfg.sparse_shape
+    n = 50
+    lin = np.sort(rng.choice(d * h * w, n, replace=False))
+    cap = cfg.voxel.max_voxels
+    coords = np.full((cap, 3), -1, np.int32)
+    coords[:n, 0] = lin // (h * w)
+    coords[:n, 1] = (lin // w) % h
+    coords[:n, 2] = lin % w
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps)
+    vs0 = np.asarray(cfg.voxel.voxel_size, np.float32)
+    pcr = np.asarray(cfg.voxel.point_cloud_range[:3], np.float32)
+    for lvl in (1, 2):
+        lvl_coords = plans[f"coords{lvl}"]
+        m = lvl_coords.shape[0]
+        feats = rng.normal(size=(m, 4)).astype(np.float32)
+        vs = vs0 * (2 ** lvl)
+        centers = ((lvl_coords[:, ::-1].astype(np.float32) + 0.5) * vs + pcr)
+        # queries: jittered level-0 cell centers (stay inside their cell)
+        q = ((coords[:, ::-1].astype(np.float32) + 0.5
+              + rng.uniform(-0.4, 0.4, (cap, 3)).astype(np.float32))
+             * vs0 + pcr)
+        plan = jnp.asarray(plans[f"aux{lvl}"])
+        a = np.asarray(I.neighborhood_interpolate(
+            jnp.asarray(q), jnp.asarray(centers), jnp.asarray(feats), plan))
+        b = np.asarray(I.neighborhood_interpolate_cells(
+            jnp.asarray(q), jnp.asarray(coords), lvl, jnp.asarray(feats),
+            plan, vs, pcr))
+        np.testing.assert_allclose(b[:n], a[:n], atol=1e-5,
+                                   err_msg=f"level {lvl}")
