@@ -41,7 +41,11 @@ class Caps:
     max_gt: int = 64                   # GT boxes per sample
     level_caps: Tuple[int, int, int, int] = (20000, 18432, 14336, 10240)
     guided_train: int = 640            # guided anchors per sample at train
-    guided_test: int = 512             # guided anchors per sample at test
+    guided_test: int = 2048            # guided anchors per sample at test
+                                       # (reference keeps ALL anchors passing
+                                       # score>thr, ssd_rotate_head.py:307-372;
+                                       # 2048 makes truncation provably
+                                       # inactive — see VALIDATION.md table)
     max_det: int = 100                 # final detections (test_cfg max_per_img)
 
 
@@ -107,6 +111,9 @@ class TestConfig:
     nms_iou_thr: float = 0.1
     max_per_img: int = 100
     anchor_thr: float = 0.1
+    nms_pre: int = 2000                # candidates kept before NMS
+                                       # (test_cfg.extra.nms_pre,
+                                       # car_cfg.py:74)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,7 +214,7 @@ def long_range_config(**overrides) -> SASSDConfig:
                           max_num_points=5, max_voxels=80000),
         caps=Caps(max_points_per_scan=262144, max_gt=64,
                   level_caps=(80000, 73728, 57344, 40960),
-                  guided_train=640, guided_test=512, max_det=100),
+                  guided_train=640, guided_test=2048, max_det=100),
         anchors={"Car": AnchorConfig(
             sizes=(1.6, 3.9, 1.56), strides=(0.4, 0.4, 1.0),
             offsets=(0.2, -39.8, -1.78))},

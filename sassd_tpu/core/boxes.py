@@ -197,6 +197,46 @@ def corners_3d(boxes3d):
     return jnp.concatenate([bottom, top], axis=-2)
 
 
+def corner_box_encode(boxes3d, anchors):
+    """Corner-offset encoding (BoxCornerCoder, box_coders.py:215-231).
+
+    Code = the 24-dim flattened offsets between the 8 box corners and the 8
+    anchor corners. (The reference registers this coder but leaves `_decode`
+    unimplemented; :func:`corner_box_decode` closes that gap.)
+
+    Args:
+      boxes3d, anchors: [..., 7]
+    Returns:
+      [..., 24]
+    """
+    off = corners_3d(boxes3d) - corners_3d(anchors)            # [..., 8, 3]
+    return off.reshape(off.shape[:-2] + (24,))
+
+
+def corner_box_decode(encodings, anchors):
+    """Inverse of :func:`corner_box_encode`: corners -> (x,y,z,w,l,h,yaw).
+
+    Reconstructs the box the corners describe exactly when they form a valid
+    rotated cuboid (least-squares otherwise): center/extents from corner
+    means, yaw from the bottom-face edge directions.
+    """
+    corners = corners_3d(anchors) + encodings.reshape(
+        encodings.shape[:-1] + (8, 3))
+    bottom, top = corners[..., :4, :], corners[..., 4:, :]
+    xy = jnp.mean(corners[..., :2], axis=-2)
+    z = jnp.mean(bottom[..., 2], axis=-1)
+    h = jnp.mean(top[..., 2], axis=-1) - z
+    # bottom corners are CCW from local (+w/2,+l/2); edge c0-c1 spans the
+    # local x axis (length w), edge c0-c3 the local y axis (length l)
+    e_w = bottom[..., 0, :2] - bottom[..., 1, :2]
+    e_l = bottom[..., 0, :2] - bottom[..., 3, :2]
+    w = jnp.linalg.norm(e_w, axis=-1)
+    l = jnp.linalg.norm(e_l, axis=-1)
+    # clockwise-yaw convention: global e_w = (w cos r, -w sin r)
+    yaw = jnp.arctan2(-e_w[..., 1], e_w[..., 0])
+    return jnp.stack([xy[..., 0], xy[..., 1], z, w, l, h, yaw], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # points in rotated boxes
 # ---------------------------------------------------------------------------

@@ -96,14 +96,21 @@ class KittiDataset:
         return png_shape(p) if p.exists() else _DEFAULT_IMAGE_SHAPE
 
     # -- samples -----------------------------------------------------------
+    # retry-on-empty budget: the reference loops unboundedly
+    # (kitti.py:127-135) which livelocks if EVERY sample lacks in-range GTs
+    # (e.g. a mismatched crop range); after this many retries we surface the
+    # sample with an all-invalid GT set instead of spinning.
+    MAX_EMPTY_RETRIES = 50
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         if self.test_mode:
             return self.prepare_test(idx)
-        while True:
+        for _ in range(self.MAX_EMPTY_RETRIES):
             data = self.prepare_train(idx)
             if data is not None:
                 return data
             idx = int(self.rng.integers(len(self)))  # retry (kitti.py:127-135)
+        return self.prepare_train(idx, allow_empty=True)
 
     def load_raw(self, idx: int):
         sid = self.sample_ids[idx]
@@ -115,7 +122,8 @@ class KittiDataset:
             objects = calib_lib.read_label(label_path)
         return sid, points, calib, objects
 
-    def prepare_train(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
+    def prepare_train(self, idx: int, allow_empty: bool = False
+                      ) -> Optional[Dict[str, np.ndarray]]:
         sid, points, calib, objects = self.load_raw(idx)
         objects = [o for o in objects if o.type != "DontCare"]
         gt_boxes = (np.stack([o.box3d for o in objects])
@@ -151,7 +159,7 @@ class KittiDataset:
         pcr = np.asarray(self.cfg.voxel.point_cloud_range)
         mask = aug.filter_gt_box_outside_range(gt_boxes, pcr[[0, 1, 3, 4]])
         gt_boxes, gt_labels = gt_boxes[mask], gt_labels[mask]
-        if len(gt_boxes) == 0:
+        if len(gt_boxes) == 0 and not allow_empty:
             return None
         gt_boxes[:, 6] = (gt_boxes[:, 6]
                           - np.floor(gt_boxes[:, 6] / (2 * np.pi) + 0.5)

@@ -100,7 +100,7 @@ def make_scene(rng, n_cars=(3, 8), n_ground=12000,
         az = np.linspace(-0.70, 0.70, n_az) + rng.normal(0, 1e-3, n_az)
         elev = np.linspace(-0.42, -0.025, 48)
         d = 1.73 / np.tan(-elev)                            # [48]
-        d = d[(d > 2.0) & (d < 72.0)]
+        d = d[(d > 2.0) & (d < x_range[1] + 6.0)]
         dd, aa = np.meshgrid(d, az)
         dd = dd + rng.normal(0, 0.02, dd.shape)
         gx = (dd * np.cos(aa)).reshape(-1)
@@ -190,13 +190,25 @@ def make_random_batch(cfg, rng, batch_size: int = 2, n_points: int = 600,
 
 
 def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
-                          seed: int = 0, classes=("Car",)):
+                          seed: int = 0, classes=("Car",),
+                          point_cloud_range=None, n_cars=(3, 8),
+                          n_ground: int = 16000):
     """Materialize a synthetic dataset in KITTI directory layout.
 
     root/
       training/{velodyne_reduced, label_2, calib}/
       ImageSets/{train.txt, val.txt}
+
+    point_cloud_range: optional (x0,y0,z0,x1,y1,z1) crop of the consuming
+    config — objects are placed inside it so miniature configs (tiny) still
+    see in-range GTs.
     """
+    if point_cloud_range is not None:
+        p = point_cloud_range
+        x_range = (max(float(p[0]) + 0.5, 2.5), float(p[3]) - 0.5)
+        y_range = (float(p[1]) * 0.9, float(p[4]) * 0.9)
+    else:
+        x_range, y_range = (4.0, 66.0), (-36.0, 36.0)
     root = Path(root)
     rng = np.random.default_rng(seed)
     calib = default_calib()
@@ -219,8 +231,9 @@ def write_synthetic_kitti(root: str, n_train: int = 8, n_val: int = 4,
     for i in range(n_train + n_val):
         split = "train" if i < n_train else "val"
         ids[split].append(i)
-        points, boxes, types = make_scene(rng, n_ground=16000, frustum=True,
-                                          classes=classes)
+        points, boxes, types = make_scene(
+            rng, n_cars=n_cars, n_ground=n_ground, x_range=x_range,
+            y_range=y_range, frustum=True, classes=classes)
         points.tofile(tdir / "velodyne_reduced" / f"{i:06d}.bin")
         with open(tdir / "calib" / f"{i:06d}.txt", "w") as f:
             f.write(calib_text)

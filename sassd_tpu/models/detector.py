@@ -111,13 +111,21 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         points_mean_src = vfe[..., :3]      # centroids always from raw mean
         vfe = feats_pn
     
+    coords0 = batch["coords"]
     keys = jax.vmap(lambda c: sp.coords_to_keys(c, cfg.sparse_shape)
-                    )(batch["coords"])
+                    )(coords0)
     if not cfg.model.dense_index:
-        # binary-search neighbor resolution needs sorted keys
+        # binary-search neighbor resolution needs sorted keys; every row
+        # array tied to the voxel order must ride the same permutation or
+        # aux-branch targets misalign (latent when producers already emit
+        # key-sorted rows, fatal otherwise)
         perm = jnp.argsort(keys, axis=1)
         keys = jnp.take_along_axis(keys, perm, axis=1)
         vfe = jnp.take_along_axis(vfe, perm[..., None], axis=1)
+        coords0 = jnp.take_along_axis(coords0, perm[..., None], axis=1)
+        if cfg.model.vfe_type == "pointnet":
+            points_mean_src = jnp.take_along_axis(
+                points_mean_src, perm[..., None], axis=1)
 
     if cfg.model.vfe_type == "pointnet":
         points_mean = points_mean_src
@@ -162,7 +170,7 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         aux_plans = {k: v for k, v in host_plans.items()
                      if k.startswith("aux")}
     return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
-                    new_state, aux_plans, batch["coords"])
+                    new_state, aux_plans, coords0)
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +326,7 @@ def forward_test(params, state, batch, anchors, cfg: SASSDConfig,
     db, ds, dl, dv = pswarp.rescore_and_nms(
         ga.boxes, scores, ga.labels, ga.valid,
         score_thr=cfg.test.score_thr, nms_iou_thr=cfg.test.nms_iou_thr,
-        max_det=cfg.caps.max_det)
+        max_det=cfg.caps.max_det, nms_pre=cfg.test.nms_pre)
     return dict(boxes=db, scores=ds, labels=dl, valid=dv)
 
 

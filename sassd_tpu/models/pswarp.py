@@ -97,12 +97,12 @@ def pswarp_loss(scores, boxes, valid, gt_boxes, gt_valid, *,
 
 def rescore_and_nms(boxes, scores, labels, valid, *,
                     score_thr: float = 0.3, nms_iou_thr: float = 0.1,
-                    max_det: int = 100, nms_pre: int = 256):
+                    max_det: int = 100, nms_pre: int = 2000):
     """Final detections (get_rescore_bboxes, ssd_rotate_head.py:487-533).
 
     sigmoid -> score threshold -> top nms_pre -> rotated NMS -> top max_det;
-    static shapes. (The reference caps NMS input with nms_pre=2000,
-    car_cfg.py:75; 256 is ample for the <=100-detection regime here.)
+    static shapes. Default nms_pre matches the reference's test budget
+    (nms_pre=2000, car_cfg.py:74).
     Returns (det_boxes [B,D,7], det_scores [B,D], det_labels [B,D],
     det_valid [B,D]).
     """

@@ -157,3 +157,16 @@ def test_bev_box_coder_roundtrip():
     dec = np.asarray(B.bev_box_decode(enc, jnp.asarray(anchors)))
     np.testing.assert_allclose(dec, boxes[:, [0, 1, 3, 4, 6]], rtol=1e-3,
                                atol=1e-3)
+
+
+def test_corner_box_coder_roundtrip():
+    rng = np.random.default_rng(7)
+    boxes = random_boxes(rng, 32)
+    anchors = random_boxes(rng, 32)
+    enc = B.corner_box_encode(jnp.asarray(boxes), jnp.asarray(anchors))
+    assert enc.shape == (32, 24)
+    dec = np.asarray(B.corner_box_decode(enc, jnp.asarray(anchors)))
+    np.testing.assert_allclose(dec[:, :6], boxes[:, :6], rtol=1e-3, atol=1e-3)
+    dyaw = np.arctan2(np.sin(dec[:, 6] - boxes[:, 6]),
+                      np.cos(dec[:, 6] - boxes[:, 6]))
+    np.testing.assert_allclose(dyaw, 0.0, atol=1e-3)

@@ -57,7 +57,9 @@ def main():
     if args.synthetic:
         root = tempfile.mkdtemp(prefix="sassd_synth_")
         write_synthetic_kitti(root, n_train=16, n_val=4,
-                              seed=cfg.train.seed)
+                              seed=cfg.train.seed,
+                              classes=cfg.class_names,
+                              point_cloud_range=cfg.voxel.point_cloud_range)
         data_root = os.path.join(root, "training")
         split = os.path.join(root, "ImageSets", "train.txt")
     else:
