@@ -370,6 +370,10 @@ extern "C" {
 //   aux_out[L]:    [27, cap0] (L = 1..3) — for each level-0 voxel, the rows
 //                  of the 3x3x3 neighborhood of its level-L parent cell
 //                  (drives the aux branch's neighborhood 3-NN interpolation)
+// want_train: when 0, the train-only plans (aux neighborhood rings and the
+// strided-conv transpose plans, both consumed only by the backward/aux
+// paths) are neither cleared nor built — roughly halving rulebook time for
+// inference serving.
 // Returns 0 on success; n_active written to n_out[4].
 int build_plans(const int32_t* coords0, const int64_t* caps,
                 const int64_t* dims, int32_t* subm0, int32_t* coords1,
@@ -378,7 +382,7 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
                 int32_t* subm3, int32_t* stride3,
                 int32_t* aux1, int32_t* aux2, int32_t* aux3,
                 int32_t* strideT1, int32_t* strideT2, int32_t* strideT3,
-                int64_t* n_out) {
+                int64_t* n_out, int64_t want_train) {
   // -1-fill all outputs here (int32 -1 is 0xFF bytes): lets the caller hand
   // over uninitialized np.empty buffers (np.full was a measurable cost)
   {
@@ -388,7 +392,8 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
     const int64_t caps27[13] = {caps[0], caps[1], caps[2], caps[3], caps[1],
                                 caps[2], caps[3], caps[0], caps[0], caps[0],
                                 caps[0], caps[1], caps[2]};
-    for (int b = 0; b < 13; ++b)
+    const int nbufs = want_train ? 13 : 7;
+    for (int b = 0; b < nbufs; ++b)
       std::memset(bufs27[b], 0xFF, sizeof(int32_t) * 27 * caps27[b]);
     int32_t* cbufs[3] = {coords1, coords2, coords3};
     for (int b = 0; b < 3; ++b)
@@ -485,6 +490,7 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
     subm_plan(levels[l], caps[l], subm_bufs[l]);
     if (l > 0) stride_plan(levels[l - 1], levels[l], caps[l], stride_bufs[l]);
   }
+  if (!want_train) return 0;
   int32_t* strideT_bufs[4] = {nullptr, strideT1, strideT2, strideT3};
   for (int l = 1; l < 4; ++l)
     stride_plan_T(levels[l - 1], levels[l], caps[l - 1], strideT_bufs[l]);

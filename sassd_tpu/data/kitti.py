@@ -199,7 +199,8 @@ class KittiDataset:
             self.cfg.voxel.grid_size, self.cfg.data.anchor_area_threshold)
         out = dict(voxels=voxels, num_points=nums, coords=coords,
                    anchors_mask=mask)
-        out.update(build_host_plans(self.cfg, coords))
+        out.update(build_host_plans(self.cfg, coords,
+                                    train=not self.test_mode))
         return out
 
 
@@ -256,12 +257,13 @@ class RawScanDataset:
         return sample
 
 
-def build_host_plans(cfg: SASSDConfig, coords: np.ndarray
-                     ) -> Dict[str, np.ndarray]:
+def build_host_plans(cfg: SASSDConfig, coords: np.ndarray,
+                     train: bool = True) -> Dict[str, np.ndarray]:
     """C++ host rulebook for the sparse backbone (empty dict if disabled).
 
     Runs in the data loader, pipelined with device compute — the TPU then
     does zero active-set/neighbor-resolution work (see backbone.vxnet_apply).
+    train=False skips the aux/strideT plans (backward/aux-branch only).
     """
     if not cfg.model.host_plans:
         return {}
@@ -269,7 +271,8 @@ def build_host_plans(cfg: SASSDConfig, coords: np.ndarray
     if not native.available():
         return {}
     caps = (cfg.voxel.max_voxels,) + tuple(cfg.caps.level_caps[1:])
-    plans = native.build_plans_cpp(coords, cfg.sparse_shape, caps)
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape, caps,
+                                   train=train)
     out = {}
     for k, v in plans.items():
         if k == "n_active":

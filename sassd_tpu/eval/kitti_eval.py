@@ -12,7 +12,7 @@ quotes from newer eval scripts) are reported.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -265,10 +265,83 @@ def compute_statistics(overlaps, gt, dt, ignored_gt, ignored_det, dc_bboxes,
     return tp, fp, fn, similarity, np.array(thresholds)
 
 
+def compute_statistics_fused(overlaps, gt, dt, ignored_gt, ignored_det,
+                             dc_bboxes, metric, min_overlap, thresholds,
+                             compute_aos=False) -> np.ndarray:
+    """All-threshold TP/FP/FN/AOS for one image, vectorized over thresholds.
+
+    The numpy analog of the reference's fused_compute_statistics
+    (kitti_eval.py:295-343): the greedy GT loop is kept (assignment order is
+    part of the protocol) but the detection scan inside it runs as [T, D]
+    array ops across every score threshold at once — this is what makes
+    full-val-split evaluation tractable without numba. Semantics are
+    byte-identical to looping `compute_statistics(..., compute_fp=True)`
+    over thresholds (asserted by tests/test_eval.py's oracle test).
+
+    Returns pr[T, 4] = (tp, fp, fn, similarity-sum) per threshold.
+    """
+    thresholds = np.asarray(thresholds, np.float64)
+    T = len(thresholds)
+    scores = np.asarray(dt["score"], np.float64)
+    D, G = len(dt["name"]), len(gt["name"])
+    pr = np.zeros((T, 4))
+    if D == 0:
+        pr[:, 2] = np.sum(np.asarray(ignored_gt) == 0)
+        return pr
+    ig_det = np.asarray(ignored_det)
+    ig_thr = scores[None, :] < thresholds[:, None]            # [T, D]
+    assigned = np.zeros((T, D), bool)
+    tp = np.zeros(T, np.int64)
+    fn = np.zeros(T, np.int64)
+    sim = np.zeros(T)
+    for i in range(G):
+        if ignored_gt[i] == -1:
+            continue
+        ovi = np.asarray(overlaps[:, i], np.float64)          # [D]
+        cand = ~assigned & ~ig_thr & (ovi > min_overlap)[None, :]
+        valid0 = cand & (ig_det == 0)[None, :]
+        valid1 = cand & (ig_det == 1)[None, :]
+        has0 = valid0.any(1)
+        has1 = valid1.any(1)
+        # max-overlap det among real candidates (argmax = first max, same
+        # tie order as the scalar scan); else the FIRST ignored candidate
+        best0 = np.where(valid0, ovi[None, :], -np.inf).argmax(1)
+        first1 = valid1.argmax(1)
+        det = np.where(has0, best0, np.where(has1, first1, -1))  # [T]
+        matched = det >= 0
+        if ignored_gt[i] == 0:
+            fn += ~matched
+        safe = np.clip(det, 0, None)
+        is_stuffed = matched & ((ignored_gt[i] == 1) | (ig_det[safe] == 1))
+        is_tp = matched & ~is_stuffed
+        tp += is_tp
+        if compute_aos:
+            delta = gt["alpha"][i] - np.asarray(dt["alpha"])[safe]
+            sim += np.where(is_tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+        rows = np.nonzero(matched)[0]
+        assigned[rows, det[rows]] = True
+    fp_mask = ~assigned & ~ig_thr & (ig_det == 0)[None, :]
+    fp = fp_mask.sum(1)
+    if metric == 0 and len(dc_bboxes):
+        ov_dc = image_box_overlap(dt["bbox"], dc_bboxes, 0)
+        in_dc = (ov_dc > min_overlap).any(1)                  # [D]
+        fp -= (fp_mask & in_dc[None, :]).sum(1)
+    pr[:, 0], pr[:, 1], pr[:, 2], pr[:, 3] = tp, fp, fn, sim
+    return pr
+
+
 def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
-               metric: int, min_overlap: float, compute_aos: bool = False):
-    """Precision/recall/AOS curves at N_SAMPLE_PTS thresholds (:549-656)."""
-    overlaps = compute_overlaps(gt_annos, dt_annos, metric)
+               metric: int, min_overlap: float, compute_aos: bool = False,
+               overlaps: Optional[List[np.ndarray]] = None):
+    """Precision/recall/AOS curves at N_SAMPLE_PTS thresholds (:549-656).
+
+    `overlaps` may be precomputed (they depend only on the metric) and
+    shared across classes / difficulties / overlap settings — the analog of
+    the reference's calculate_iou_partly being hoisted out of the
+    per-difficulty loop (kitti_eval.py:569-571).
+    """
+    if overlaps is None:
+        overlaps = compute_overlaps(gt_annos, dt_annos, metric)
     cleaned = [clean_data(g, d, current_class, difficulty)
                for g, d in zip(gt_annos, dt_annos)]
     total_valid_gt = sum(c[0] for c in cleaned)
@@ -284,12 +357,9 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
 
     pr = np.zeros((len(thresholds), 4))
     for i, (gt, dt) in enumerate(zip(gt_annos, dt_annos)):
-        for t, thr in enumerate(thresholds):
-            tp, fp, fn, sim, _ = compute_statistics(
-                overlaps[i], gt, dt, cleaned[i][1], cleaned[i][2],
-                cleaned[i][3], metric, min_overlap, thresh=thr,
-                compute_fp=True, compute_aos=compute_aos)
-            pr[t] += [tp, fp, fn, sim if sim != -1 else 0.0]
+        pr += compute_statistics_fused(
+            overlaps[i], gt, dt, cleaned[i][1], cleaned[i][2],
+            cleaned[i][3], metric, min_overlap, thresholds, compute_aos)
 
     precision = np.zeros(N_SAMPLE_PTS)
     recall = np.zeros(N_SAMPLE_PTS)
@@ -329,35 +399,52 @@ MIN_OVERLAPS = {  # per class: (strict, loose) for (bbox, bev, 3d)
 
 def get_official_eval_result(gt_annos, dt_annos, classes: Sequence[str]):
     """Full KITTI eval: AP@R11 and AP@R40 for bbox/bev/3d (+AOS when alphas
-    are present), strict overlap thresholds. Returns (results dict, text)."""
+    are present), at BOTH overlap settings — strict (0.7/0.7/0.7 Car) and
+    loose (0.7/0.5/0.5 Car), matching the reference's stacked min_overlaps
+    tables (kitti_eval.py:791-798). Returns (results dict, text): strict APs
+    live at results[cls][metric] (unchanged layout), the loose block at
+    results[cls]["loose"][metric]."""
     compute_aos = any(
         len(a["alpha"]) and a["alpha"][0] != -10 for a in dt_annos)
+    # overlap matrices depend only on the metric: compute each ONCE and
+    # share across classes / difficulties / overlap settings
+    metrics = [(0, "bbox"), (1, "bev"), (2, "3d")]
+    overlaps_by_metric = {m: compute_overlaps(gt_annos, dt_annos, m)
+                          for m, _ in metrics}
     results: Dict[str, Dict] = {}
     text = []
     for cls in classes:
         cidx = CLASS_NAMES.index(cls)
-        strict, _ = MIN_OVERLAPS[cls]
-        per_metric = {}
-        for metric, name in [(0, "bbox"), (1, "bev"), (2, "3d")]:
-            r11, r40, aos11, aos40 = [], [], [], []
-            for diff in range(3):
-                ret = eval_class(gt_annos, dt_annos, cidx, diff, metric,
-                                 strict[metric], compute_aos and metric == 0)
-                r11.append(ap11(ret["precision"]))
-                r40.append(ap40(ret["precision"]))
-                if compute_aos and metric == 0:
-                    aos11.append(ap11(ret["orientation"]))
-                    aos40.append(ap40(ret["orientation"]))
-            per_metric[name] = dict(R11=r11, R40=r40)
-            if aos11:
-                per_metric["aos"] = dict(R11=aos11, R40=aos40)
-        results[cls] = per_metric
-        text.append(f"{cls} AP@{strict[0]:.2f}, {strict[1]:.2f}, {strict[2]:.2f}:")
-        for name in ["bbox", "bev", "3d", "aos"]:
-            if name in per_metric:
-                v11 = per_metric[name]["R11"]
-                v40 = per_metric[name]["R40"]
-                text.append(
-                    f"{name:<4} AP R11: {v11[0]:.2f}, {v11[1]:.2f}, {v11[2]:.2f}"
-                    f"  | R40: {v40[0]:.2f}, {v40[1]:.2f}, {v40[2]:.2f}")
+        results[cls] = {}
+        for block, min_ovs in zip(("strict", "loose"), MIN_OVERLAPS[cls]):
+            per_metric = {}
+            for metric, name in metrics:
+                r11, r40, aos11, aos40 = [], [], [], []
+                for diff in range(3):
+                    ret = eval_class(gt_annos, dt_annos, cidx, diff, metric,
+                                     min_ovs[metric],
+                                     compute_aos and metric == 0,
+                                     overlaps=overlaps_by_metric[metric])
+                    r11.append(ap11(ret["precision"]))
+                    r40.append(ap40(ret["precision"]))
+                    if compute_aos and metric == 0:
+                        aos11.append(ap11(ret["orientation"]))
+                        aos40.append(ap40(ret["orientation"]))
+                per_metric[name] = dict(R11=r11, R40=r40)
+                if aos11:
+                    per_metric["aos"] = dict(R11=aos11, R40=aos40)
+            if block == "strict":
+                results[cls].update(per_metric)
+            else:
+                results[cls]["loose"] = per_metric
+            text.append(f"{cls} AP@{min_ovs[0]:.2f}, {min_ovs[1]:.2f}, "
+                        f"{min_ovs[2]:.2f}:")
+            for name in ["bbox", "bev", "3d", "aos"]:
+                if name in per_metric:
+                    v11 = per_metric[name]["R11"]
+                    v40 = per_metric[name]["R40"]
+                    text.append(
+                        f"{name:<4} AP R11: {v11[0]:.2f}, {v11[1]:.2f}, "
+                        f"{v11[2]:.2f}  | R40: {v40[0]:.2f}, {v40[1]:.2f}, "
+                        f"{v40[2]:.2f}")
     return results, "\n".join(text)

@@ -26,16 +26,23 @@ def make_test_step(cfg: SASSDConfig, anchors):
 
 
 def run_inference(cfg: SASSDConfig, dataset, params, state,
-                  batch_size: int = 1, logger: Optional[logging.Logger] = None
+                  batch_size: int = 1, logger: Optional[logging.Logger] = None,
+                  num_shards: int = 1, shard_id: int = 0
                   ) -> Tuple[List[Dict], List[int]]:
-    """Run the detector over a dataset; returns (annos, sample_ids)."""
+    """Run the detector over a dataset; returns (annos, sample_ids).
+
+    num_shards/shard_id stride the sample set across hosts (the reference's
+    rank-strided DistEvalHook, eval_hooks.py:23-108); padding duplicates are
+    deduplicated by sample id at merge time.
+    """
     logger = logger or logging.getLogger("sassd")
     anchors = jnp.asarray(dataset.anchors)
     step = make_test_step(cfg, anchors)
     class_names = list(cfg.class_names)
     annos, ids = [], []
     for batch, metas in iterate_batches(
-            dataset, batch_size, shuffle=False, num_workers=2):
+            dataset, batch_size, shuffle=False, num_workers=2,
+            num_shards=num_shards, shard_id=shard_id):
         dets = jax.device_get(step(params, state, batch))
         for i, meta in enumerate(metas):
             annos.append(detections_to_kitti_anno(
@@ -45,11 +52,38 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
     return annos, ids
 
 
+def _dedup_by_id(annos: List[Dict], ids: List[int]):
+    seen, out_a, out_i = set(), [], []
+    for a, sid in zip(annos, ids):
+        if sid not in seen:
+            seen.add(sid)
+            out_a.append(a)
+            out_i.append(sid)
+    order = sorted(range(len(out_i)), key=lambda k: out_i[k])
+    return [out_a[k] for k in order], [out_i[k] for k in order]
+
+
 def evaluate(cfg: SASSDConfig, dataset, params, state, label_dir,
-             batch_size: int = 1, logger=None):
-    """Full eval: inference + official KITTI AP. Returns (results, text)."""
+             batch_size: int = 1, logger=None,
+             exchange_dir: Optional[str] = None):
+    """Full eval: inference + official KITTI AP. Returns (results, text).
+
+    Under a multi-process job the sample set is rank-strided; per-host annos
+    are gathered to the primary (which alone computes AP and returns it;
+    other processes return (None, "")).
+    """
+    from sassd_tpu.parallel import dist
+    n, pid = dist.process_count(), dist.process_index()
     dt_annos, ids = run_inference(cfg, dataset, params, state, batch_size,
-                                  logger)
+                                  logger, num_shards=n, shard_id=pid)
+    if n > 1:
+        parts = dist.gather_objects(
+            (dt_annos, ids), exchange_dir or cfg.work_dir, tag="eval")
+        if pid != 0:
+            return None, ""
+        dt_annos = [a for p in parts for a in p[0]]
+        ids = [i for p in parts for i in p[1]]
+    dt_annos, ids = _dedup_by_id(dt_annos, ids)
     gt_annos = kitti_eval.get_label_annos(label_dir, ids)
     return kitti_eval.get_official_eval_result(
         gt_annos, dt_annos, list(cfg.class_names))

@@ -53,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rotated_overlap.restype = None
     lib.rotated_overlap.argtypes = [f64p, i64, f64p, i64, ctypes.c_int, f32p]
     lib.build_plans.restype = i64
-    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 16 + [i64p]
+    lib.build_plans.argtypes = [i32p, i64p, i64p] + [i32p] * 16 + [i64p, i64]
     lib.anchors_mask.restype = None
     lib.anchors_mask.argtypes = [i32p, i64, f32p, i64, f32p, f32p, i64p,
                                  ctypes.c_float, u8p]
@@ -108,16 +108,21 @@ def rotated_overlap_cpp(boxes: np.ndarray, qboxes: np.ndarray,
     return out
 
 
-def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
+def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps,
+                    train: bool = True):
     """Host rulebook: full VxNet gather plans from level-0 voxel coords.
 
     Args:
       coords0: [cap0, 3] int32 zyx coords (-1 rows = padding).
       sparse_shape: (D, H, W) of the full-res grid.
       level_caps: 4 per-level capacities (cap0 == coords0.shape[0]).
+      train: when False, the train-only plans (aux1..3 neighborhood rings,
+        strideT1..3 backward transposes) are skipped — ~2x less rulebook
+        work for inference serving.
     Returns:
       dict with keys subm0..subm3 ([27, capL] int32, -1 = missing),
-      stride1..stride3, coords1..coords3 ([capL, 3] int32, -1 padded).
+      stride1..stride3, coords1..coords3 ([capL, 3] int32, -1 padded);
+      plus aux1..3 / strideT1..3 when train.
     """
     lib = _load()
     assert lib is not None
@@ -126,19 +131,26 @@ def build_plans_cpp(coords0: np.ndarray, sparse_shape, level_caps):
     dims = np.asarray(sparse_shape, np.int64)
     out = {f"subm{l}": np.empty((27, int(caps[l])), np.int32)
            for l in range(4)}
+    dummy = np.empty((1,), np.int32)
+    trainbuf = (lambda *shape: np.empty(shape, np.int32)) if train else (
+        lambda *shape: dummy)
+    aux, sT = {}, {}
     for l in range(1, 4):
         out[f"coords{l}"] = np.empty((int(caps[l]), 3), np.int32)
         out[f"stride{l}"] = np.empty((27, int(caps[l])), np.int32)
-        out[f"aux{l}"] = np.empty((27, int(caps[0])), np.int32)
-        out[f"strideT{l}"] = np.empty((27, int(caps[l - 1])), np.int32)
+        aux[l] = trainbuf(27, int(caps[0]))
+        sT[l] = trainbuf(27, int(caps[l - 1]))
     n_out = np.zeros(4, np.int64)
     lib.build_plans(np.ascontiguousarray(coords0, np.int32), caps, dims,
                     out["subm0"], out["coords1"], out["subm1"],
                     out["stride1"], out["coords2"], out["subm2"],
                     out["stride2"], out["coords3"], out["subm3"],
-                    out["stride3"], out["aux1"], out["aux2"], out["aux3"],
-                    out["strideT1"], out["strideT2"], out["strideT3"],
-                    n_out)
+                    out["stride3"], aux[1], aux[2], aux[3],
+                    sT[1], sT[2], sT[3], n_out, int(train))
+    if train:
+        for l in range(1, 4):
+            out[f"aux{l}"] = aux[l]
+            out[f"strideT{l}"] = sT[l]
     out["n_active"] = n_out.astype(np.int32)
     return out
 

@@ -1,0 +1,109 @@
+"""Multi-process (multi-host) runtime: initialization, barriers, gathers.
+
+TPU-native replacement for the reference's NCCL process-group stack
+(/root/reference/tools/env.py:12-30 init_dist, tools/dist_train.sh:5
+torch.distributed.launch, mmdet/core/utils/dist_utils.py:9-41 coalesced
+all-reduce): one `jax.distributed.initialize` call connects the hosts, after
+which every collective is compiled by XLA into the jitted step (gradient
+psum over ICI/DCN) — there is no hand-written gradient sync to maintain.
+
+Host-side exchange of non-array results (eval annos) uses the filesystem
+plus a device barrier, the structured analog of the reference's pkl-file
+barrier in DistEvalHook (mmdet/core/evaluation/eval_hooks.py:39-55).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Connect this process to the training job.
+
+    With no arguments, defers to jax.distributed's cluster auto-detection
+    (TPU pod metadata / standard env vars). On the CPU backend (tests,
+    virtual multi-host), selects the gloo collectives implementation first —
+    required for cross-process psum to work off-TPU.
+    """
+    # NOTE: must not touch the backend here (jax.devices/process_count would
+    # initialize XLA and make jax.distributed.initialize fail), so the
+    # already-initialized check and the cpu detection are config/env only.
+    from jax._src import distributed as _jd
+    if _jd.global_state.client is not None:   # already initialized
+        return
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in str(platforms):
+        # cross-process collectives off-TPU need the gloo implementation
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (device-level sync)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def gather_objects(obj, exchange_dir, tag: str = "gather",
+                   timeout: float = 600.0) -> Optional[List]:
+    """All-to-primary gather of arbitrary picklables via a shared directory.
+
+    Every process writes its part; the primary reads them back in process
+    order and returns the list (other processes return None). `exchange_dir`
+    must be on a filesystem visible to all hosts (the work_dir convention,
+    as in the reference's DistEvalHook eval_hooks.py:39-55).
+    """
+    n, pid = jax.process_count(), jax.process_index()
+    if n == 1:
+        return [obj]
+    d = Path(exchange_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    part = d / f"{tag}_part{pid}.pkl"
+    tmp = str(part) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(tmp, part)
+    barrier(f"{tag}_written")
+    out = None
+    if pid == 0:
+        out = []
+        deadline = time.time() + timeout
+        for i in range(n):
+            p = d / f"{tag}_part{i}.pkl"
+            while not p.exists():
+                if time.time() > deadline:
+                    raise TimeoutError(f"missing gather part {p}")
+                time.sleep(0.1)
+            with open(p, "rb") as f:
+                out.append(pickle.load(f))
+    barrier(f"{tag}_read")
+    if pid == 0:
+        for i in range(n):
+            (d / f"{tag}_part{i}.pkl").unlink(missing_ok=True)
+    return out

@@ -42,9 +42,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch on the mesh, sharded along the data axis."""
+    """Place a host batch on the mesh, sharded along the data axis.
+
+    Single-process: `batch` is the full global batch, device_put splits it
+    across the local devices. Multi-process: `batch` is THIS host's shard
+    (global_batch / process_count samples) and the global array is assembled
+    from the per-process pieces without any cross-host data movement — the
+    multi-host data-parallel contract (each host feeds only its addressable
+    devices; the reference ships one DataLoader per NCCL rank instead,
+    mmdet/datasets/loader/sampler.py:51-132).
+    """
     sh = NamedSharding(mesh, P("data"))
-    return jax.device_put(batch, sh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def replicate(mesh: Mesh, tree):
@@ -54,3 +67,13 @@ def replicate(mesh: Mesh, tree):
 
 def num_data_shards(mesh: Optional[Mesh]) -> int:
     return 1 if mesh is None else mesh.shape["data"]
+
+
+def host_shard_info() -> tuple:
+    """(num_shards, shard_id) for host-side data sharding.
+
+    Data is sharded across PROCESSES (each loads its slice of every global
+    batch), not across devices — within a process, shard_batch splits the
+    local slice over the addressable devices.
+    """
+    return jax.process_count(), jax.process_index()

@@ -18,6 +18,7 @@ import optax
 
 from sassd_tpu.config import SASSDConfig
 from sassd_tpu.models import detector
+from sassd_tpu.parallel import dist
 from sassd_tpu.parallel import mesh as mesh_lib
 from . import checkpoint as ckpt_lib
 from . import optim as optim_lib
@@ -95,8 +96,16 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     work_dir = work_dir or cfg.work_dir
     total_epochs = total_epochs or cfg.train.total_epochs
     bs = cfg.train.batch_size
-    shards = mesh_lib.num_data_shards(mesh)
-    steps_per_epoch = max(len(dataset) // bs, 1)
+    num_hosts, host_id = mesh_lib.host_shard_info()
+    if bs % num_hosts:
+        raise ValueError(
+            f"global batch_size {bs} not divisible by {num_hosts} hosts")
+    local_bs = bs // num_hosts
+    if num_hosts > 1 and mesh is None:
+        raise ValueError("multi-process training requires a device mesh")
+    # epoch_indices pads (by wrapping) to a multiple of the global batch, so
+    # every host sees the same number of steps: ceil(N / global_bs).
+    steps_per_epoch = max(-(-len(dataset) // bs), 1)
     total_steps = steps_per_epoch * total_epochs
 
     anchors = jnp.asarray(dataset.anchors)
@@ -128,7 +137,8 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     for epoch in range(start_epoch, total_epochs):
         t0 = time.time()
         for batch, _metas in iterate_batches(
-                dataset, bs, epoch=epoch, seed=cfg.train.seed, shuffle=True,
+                dataset, local_bs, epoch=epoch, seed=cfg.train.seed,
+                shuffle=True, num_shards=num_hosts, shard_id=host_id,
                 num_workers=cfg.data.num_workers):
             dev_batch = (mesh_lib.shard_batch(mesh, batch)
                          if mesh is not None else batch)
@@ -147,12 +157,14 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
         if ((epoch + 1) % cfg.train.checkpoint_interval == 0
                 or epoch == total_epochs - 1):
-            path = ckpt_lib.save(work_dir, epoch, step,
-                                 jax.device_get(params),
-                                 jax.device_get(state),
-                                 jax.device_get(opt_state),
-                                 max_keep=cfg.train.max_ckpt_keep)
-            logger.info("saved %s", path)
+            if host_id == 0:   # params are replicated; one writer suffices
+                path = ckpt_lib.save(work_dir, epoch, step,
+                                     jax.device_get(params),
+                                     jax.device_get(state),
+                                     jax.device_get(opt_state),
+                                     max_keep=cfg.train.max_ckpt_keep)
+                logger.info("saved %s", path)
+            dist.barrier(f"ckpt_epoch_{epoch}")
         if (epoch_callback is not None
                 and (epoch + 1) % (eval_interval or 1) == 0):
             epoch_callback(epoch, params, state)

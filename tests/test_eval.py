@@ -130,6 +130,101 @@ def test_official_result_text():
     assert "bev" in text
 
 
+def messy_anno_pair(rng, n_gt=8, n_dt=10):
+    """GT/DT pair exercising every protocol path: Van/DontCare/Pedestrian
+    mixing, occlusion/truncation/height filtering, short detections,
+    unmatched FPs and overlapping duplicates."""
+    gt = make_anno(n_gt, rng)
+    gt["name"] = rng.choice(["Car", "Van", "Pedestrian", "DontCare"],
+                            n_gt, p=[0.55, 0.15, 0.15, 0.15])
+    gt["occluded"] = rng.integers(0, 4, n_gt)
+    gt["truncated"] = rng.uniform(0, 0.6, n_gt)
+    heights = rng.uniform(20, 90, n_gt)
+    gt["bbox"][:, 3] = gt["bbox"][:, 1] + heights
+    # detections: jittered copies of some GTs + pure FPs
+    keep = rng.random(n_gt) < 0.75
+    dt = {k: v[keep].copy() for k, v in gt.items()}
+    dt["name"] = rng.choice(["Car", "Pedestrian"], keep.sum(),
+                            p=[0.8, 0.2])
+    dt["location"] = dt["location"] + rng.normal(0, 0.1, dt["location"].shape)
+    dt["bbox"] = dt["bbox"] + rng.normal(0, 2.0, dt["bbox"].shape)
+    n_fp = n_dt - keep.sum()
+    if n_fp > 0:
+        fp = make_anno(int(n_fp), rng)
+        fp["location"][:, 0] += 300.0
+        fp["bbox"] = fp["bbox"] + 4000.0
+        fp["bbox"][:, 3] = fp["bbox"][:, 1] + rng.uniform(15, 80, int(n_fp))
+        for k in dt:
+            dt[k] = np.concatenate([dt[k], fp[k]])
+    dt["score"] = rng.uniform(0, 1, len(dt["name"]))
+    return gt, dt
+
+
+def test_fused_statistics_matches_scalar_oracle():
+    """compute_statistics_fused == per-threshold scalar compute_statistics
+    on adversarial annos, for every metric, with AOS and DontCare boxes."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        gt, dt = messy_anno_pair(rng)
+        thresholds = np.concatenate(
+            [np.linspace(0.0, 1.0, 9), np.sort(dt["score"])[:4]])
+        for metric in (0, 1, 2):
+            ov = KE.compute_overlaps([gt], [dt], metric)[0]
+            for cls in (0, 1):
+                for diff in (0, 1, 2):
+                    nv, ig, idt, dc = KE.clean_data(gt, dt, cls, diff)
+                    fused = KE.compute_statistics_fused(
+                        ov, gt, dt, ig, idt, dc, metric, 0.5, thresholds,
+                        compute_aos=(metric == 0))
+                    for t, thr in enumerate(thresholds):
+                        tp, fp, fn, sim, _ = KE.compute_statistics(
+                            ov, gt, dt, ig, idt, dc, metric, 0.5,
+                            thresh=thr, compute_fp=True,
+                            compute_aos=(metric == 0))
+                        expect = [tp, fp, fn, sim if sim != -1 else 0.0]
+                        np.testing.assert_allclose(
+                            fused[t], expect, atol=1e-9,
+                            err_msg=f"trial={trial} metric={metric} "
+                                    f"cls={cls} diff={diff} thr={thr}")
+
+
+def test_loose_overlap_block_reported():
+    """Both min-overlap tables are evaluated (kitti_eval.py:791-798): the
+    loose Car setting (0.7/0.5/0.5) can only score >= the strict one."""
+    gts, dts = dense_dataset(seed=5)
+    # perturb boxes so strict 0.7 misses some matches but loose 0.5 catches
+    rng = np.random.default_rng(6)
+    for d in dts:
+        d["location"] = d["location"] + rng.normal(0, 0.35,
+                                                   d["location"].shape)
+    results, text = KE.get_official_eval_result(gts, dts, ["Car"])
+    assert "loose" in results["Car"]
+    for m in ("bbox", "bev", "3d"):
+        for i in range(3):
+            assert (results["Car"]["loose"][m]["R40"][i]
+                    >= results["Car"][m]["R40"][i] - 1e-9)
+    assert results["Car"]["loose"]["3d"]["R40"][1] \
+        > results["Car"]["3d"]["R40"][1]
+    assert text.count("Car AP@") == 2
+
+
+def test_eval_speed_val_scale():
+    """Full-val-scale eval must be tractable single-core: 3769 images with
+    realistic box counts through all metrics/difficulties/blocks."""
+    import time
+    rng = np.random.default_rng(7)
+    gts, dts = [], []
+    for _ in range(3769):
+        gt, dt = messy_anno_pair(rng, n_gt=6, n_dt=8)
+        gts.append(gt)
+        dts.append(dt)
+    t0 = time.time()
+    results, _ = KE.get_official_eval_result(gts, dts, ["Car"])
+    elapsed = time.time() - t0
+    assert np.isfinite(results["Car"]["3d"]["R40"][1])
+    assert elapsed < 120.0, f"eval took {elapsed:.1f}s"
+
+
 def test_detections_roundtrip_through_result_lines(tmp_path):
     """detector output -> anno -> result file -> parsed anno round trip."""
     from sassd_tpu.data import synthetic

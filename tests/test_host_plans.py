@@ -232,3 +232,18 @@ def test_subm_sym_triple_grad_matches_autodiff():
                                    rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
                                    rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
+
+
+def test_inference_mode_skips_train_plans():
+    """train=False must drop aux/strideT and leave every other plan
+    byte-identical (the inference-serving fast path)."""
+    cfg, coords, n = make_inputs(seed=3)
+    full = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                  cfg.caps.level_caps, train=True)
+    infer = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps, train=False)
+    assert not any(k.startswith(("aux", "strideT")) for k in infer)
+    for k in infer:
+        np.testing.assert_array_equal(infer[k], full[k], err_msg=k)
+    for l in range(1, 4):
+        assert f"aux{l}" in full and f"strideT{l}" in full

@@ -28,9 +28,22 @@ def main():
                     help="train on generated synthetic scenes (no KITTI)")
     ap.add_argument("--eval_interval", type=int, default=None,
                     help="run val evaluation every N epochs")
+    ap.add_argument("--dist", action="store_true",
+                    help="multi-host: jax.distributed.initialize() with "
+                         "cluster auto-detection (TPU pod metadata)")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator host:port (overrides "
+                         "auto-detection; requires --num_processes/"
+                         "--process_id)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
+    if args.dist or args.coordinator:
+        from sassd_tpu.parallel import dist
+        dist.initialize(args.coordinator, args.num_processes,
+                        args.process_id)
     from sassd_tpu.config import load_config
     from sassd_tpu.data.kitti import KittiDataset
     from sassd_tpu.data.synthetic import write_synthetic_kitti
