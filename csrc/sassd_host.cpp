@@ -226,61 +226,25 @@ void rotated_overlap(const double* boxes, int64_t n, const double* qboxes,
 // consume: per level L the active coords, the 27-tap submanifold neighbor
 // rows, and (L>=1) the 27-tap stride-2 gather rows into level L-1. The
 // reference delegates this to spconv's GPU rulebook; on TPU the host builds
-// it with hash maps (pipelined with device compute by the data loader) while
-// the device keeps a pure-XLA fallback.
+// it in the data loader, pipelined with device compute, while the device
+// keeps a pure-XLA fallback.
+//
+// Every level's active set is KEY-SORTED (required by the engine's packed
+// triple gather), which makes hash maps unnecessary: for a fixed kernel-tap
+// offset the probe keys are non-decreasing in row order, so each tap is a
+// single two-pointer merge of two sorted streams — linear memory access,
+// no probing. Downsampled active sets come from sort+unique over the <=8
+// parent candidates per voxel, identical to the device's _unique_sorted
+// semantics (including lowest-keys-win cap truncation).
 //
 // Outputs are -1-padded: coords rows -1, plan entries -1 (missing neighbor /
-// padded row). Active sets are first-come in input scan order, capped.
+// padded row).
 
 namespace {
 
-// Open-addressed linear-probe hash table (int32 key -> int32 row), key and
-// value interleaved in one 8-byte slot so a lookup costs a single cache-line
-// touch. Grids here are < 2^31 cells, so int32 keys suffice. ~15x faster
-// than std::unordered_map for the plan builder's ~5M lookups per scan.
-struct FlatMap {
-  struct Slot { int32_t key; int32_t val; };
-  std::vector<Slot> slots;
-  uint64_t mask = 0;
-
-  void init(int64_t expect) {
-    uint64_t cap = 64;
-    while (cap < static_cast<uint64_t>(expect) * 2) cap <<= 1;
-    slots.assign(cap, Slot{-1, -1});
-    mask = cap - 1;
-  }
-  static inline uint64_t hash(int64_t k) {
-    uint64_t x = static_cast<uint64_t>(k);
-    x ^= x >> 33;
-    x *= 0xff51afd7ed558ccdULL;
-    x ^= x >> 33;
-    return x;
-  }
-  // returns true if inserted, false if key already present
-  inline bool insert(int64_t k, int32_t v) {
-    const int32_t k32 = static_cast<int32_t>(k);
-    uint64_t i = hash(k) & mask;
-    while (slots[i].key != -1) {
-      if (slots[i].key == k32) return false;
-      i = (i + 1) & mask;
-    }
-    slots[i] = Slot{k32, v};
-    return true;
-  }
-  inline int32_t find(int64_t k) const {
-    const int32_t k32 = static_cast<int32_t>(k);
-    uint64_t i = hash(k) & mask;
-    while (slots[i].key != -1) {
-      if (slots[i].key == k32) return slots[i].val;
-      i = (i + 1) & mask;
-    }
-    return -1;
-  }
-};
-
 struct Level {
-  FlatMap map;
-  std::vector<int32_t> coords;  // [n, 3] zyx
+  std::vector<int32_t> coords;  // [n, 3] zyx, key-sorted
+  std::vector<int64_t> keys;    // [n], strictly ascending
   int64_t d, h, w;
 };
 
@@ -288,46 +252,107 @@ inline int64_t key_of(int64_t z, int64_t y, int64_t x, const Level& L) {
   return (z * L.h + y) * L.w + x;
 }
 
+// Fill one plan row: row[i] = index of probe(i) in L.keys, or -1.
+// Linear two-pointer merge while probe(i) is non-decreasing (the common
+// case: subm/stride probes are monotone in key-sorted row order); a
+// backward jump (e.g. aux parent keys, which are NOT monotone in level-0
+// order — y resets when z increments within one parent cell) rewinds the
+// cursor with a binary search.
+template <class Probe>
+inline void merge_tap(const Level& L, int64_t n, int64_t cap, int32_t* row,
+                      Probe&& probe) {
+  const int64_t m = static_cast<int64_t>(L.keys.size());
+  const int64_t* keys = L.keys.data();
+  int64_t j = 0;
+  const int64_t lim = n < cap ? n : cap;
+  for (int64_t i = 0; i < lim; ++i) {
+    const int64_t q = probe(i);
+    if (q < 0) { row[i] = -1; continue; }
+    if (j > 0 && keys[j - 1] >= q)
+      j = std::lower_bound(keys, keys + j, q) - keys;
+    while (j < m && keys[j] < q) ++j;
+    row[i] = (j < m && keys[j] == q) ? static_cast<int32_t>(j) : -1;
+  }
+}
+
+// Grouped 3-tap merge: the x-consecutive taps (dz,dy,-1/0/+1) probe keys
+// qc-1, qc, qc+1 for a shared base qc — one pass fills all three rows.
+// `probe` returns the CENTER key qc (or -1 when (z,y) taps are out of
+// bounds); xok0/xok2 gate the x-1 / x+1 taps (a key match with the x edge
+// wrapped to the neighboring row must not count). Monotone probes advance
+// a linear cursor; backward jumps rewind via binary search (see merge_tap).
+template <class Probe, class XOk0, class XOk2>
+inline void merge_tap3(const Level& L, int64_t n, int64_t cap, int32_t* r0,
+                       int32_t* r1, int32_t* r2, Probe&& probe, XOk0&& xok0,
+                       XOk2&& xok2) {
+  const int64_t m = static_cast<int64_t>(L.keys.size());
+  const int64_t* keys = L.keys.data();
+  int64_t j = 0;
+  const int64_t lim = n < cap ? n : cap;
+  for (int64_t i = 0; i < lim; ++i) {
+    const int64_t qc = probe(i);
+    if (qc < 0) { r0[i] = r1[i] = r2[i] = -1; continue; }
+    if (j > 0 && keys[j - 1] >= qc - 1)
+      j = std::lower_bound(keys, keys + j, qc - 1) - keys;
+    while (j < m && keys[j] < qc - 1) ++j;
+    int64_t jj = j;
+    int32_t v0 = -1, v1 = -1, v2 = -1;
+    if (jj < m && keys[jj] == qc - 1) {
+      if (xok0(i)) v0 = static_cast<int32_t>(jj);
+      ++jj;
+    }
+    if (jj < m && keys[jj] == qc) {
+      v1 = static_cast<int32_t>(jj);
+      ++jj;
+    }
+    if (jj < m && keys[jj] == qc + 1 && xok2(i))
+      v2 = static_cast<int32_t>(jj);
+    r0[i] = v0;
+    r1[i] = v1;
+    r2[i] = v2;
+  }
+}
+
 void subm_plan(const Level& L, int64_t cap, int32_t* out /* [27, cap] */) {
   const int64_t n = static_cast<int64_t>(L.coords.size()) / 3;
-  int k = 0;
+  const int32_t* c = L.coords.data();
+  int g = 0;
   for (int dz = -1; dz <= 1; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx, ++k) {
-        int32_t* row = out + static_cast<int64_t>(k) * cap;
-        for (int64_t i = 0; i < n && i < cap; ++i) {
-          const int64_t z = L.coords[i * 3] + dz;
-          const int64_t y = L.coords[i * 3 + 1] + dy;
-          const int64_t x = L.coords[i * 3 + 2] + dx;
-          if (z < 0 || z >= L.d || y < 0 || y >= L.h || x < 0 || x >= L.w) {
-            row[i] = -1;
-            continue;
-          }
-          row[i] = L.map.find(key_of(z, y, x, L));
-        }
-      }
+    for (int dy = -1; dy <= 1; ++dy, ++g) {
+      int32_t* rows = out + static_cast<int64_t>(g) * 3 * cap;
+      const int64_t off = (static_cast<int64_t>(dz) * L.h + dy) * L.w;
+      merge_tap3(
+          L, n, cap, rows, rows + cap, rows + 2 * cap,
+          [&](int64_t i) -> int64_t {
+            const int64_t z = c[i * 3] + dz, y = c[i * 3 + 1] + dy;
+            if (z < 0 || z >= L.d || y < 0 || y >= L.h) return -1;
+            return L.keys[i] + off;
+          },
+          [&](int64_t i) { return c[i * 3 + 2] >= 1; },
+          [&](int64_t i) { return c[i * 3 + 2] + 1 < L.w; });
+    }
 }
 
 void stride_plan(const Level& Lin, const Level& Lout, int64_t cap,
                  int32_t* out /* [27, cap] */) {
   const int64_t n = static_cast<int64_t>(Lout.coords.size()) / 3;
-  int k = 0;
+  const int32_t* c = Lout.coords.data();
+  int g = 0;
   for (int dz = -1; dz <= 1; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx, ++k) {
-        int32_t* row = out + static_cast<int64_t>(k) * cap;
-        for (int64_t i = 0; i < n && i < cap; ++i) {
-          const int64_t z = 2 * Lout.coords[i * 3] + dz;
-          const int64_t y = 2 * Lout.coords[i * 3 + 1] + dy;
-          const int64_t x = 2 * Lout.coords[i * 3 + 2] + dx;
-          if (z < 0 || z >= Lin.d || y < 0 || y >= Lin.h || x < 0 ||
-              x >= Lin.w) {
-            row[i] = -1;
-            continue;
-          }
-          row[i] = Lin.map.find(key_of(z, y, x, Lin));
-        }
-      }
+    for (int dy = -1; dy <= 1; ++dy, ++g) {
+      int32_t* rows = out + static_cast<int64_t>(g) * 3 * cap;
+      merge_tap3(
+          Lin, n, cap, rows, rows + cap, rows + 2 * cap,
+          [&](int64_t i) -> int64_t {
+            const int64_t z = 2 * c[i * 3] + dz, y = 2 * c[i * 3 + 1] + dy,
+                          x = 2 * c[i * 3 + 2];
+            if (z < 0 || z >= Lin.d || y < 0 || y >= Lin.h || x >= Lin.w)
+              return -1;
+            return key_of(z, y, x, Lin);
+          },
+          [&](int64_t i) { return 2 * c[i * 3 + 2] >= 1; },
+          [&](int64_t i) { return 2 * c[i * 3 + 2] + 1 < Lin.w; });
+    }
 }
 
 // Transpose of stride_plan: for each level-(L-1) INPUT row j and tap k, the
@@ -336,25 +361,22 @@ void stride_plan(const Level& Lin, const Level& Lout, int64_t cap,
 void stride_plan_T(const Level& Lin, const Level& Lout, int64_t cap,
                    int32_t* out /* [27, cap] */) {
   const int64_t n = static_cast<int64_t>(Lin.coords.size()) / 3;
+  const int32_t* c = Lin.coords.data();
   int k = 0;
   for (int dz = -1; dz <= 1; ++dz)
     for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx, ++k) {
-        int32_t* row = out + static_cast<int64_t>(k) * cap;
-        for (int64_t i = 0; i < n && i < cap; ++i) {
-          const int64_t zz = Lin.coords[i * 3] - dz;
-          const int64_t yy = Lin.coords[i * 3 + 1] - dy;
-          const int64_t xx = Lin.coords[i * 3 + 2] - dx;
-          if ((zz & 1) || (yy & 1) || (xx & 1)) { row[i] = -1; continue; }
-          const int64_t z = zz >> 1, y = yy >> 1, x = xx >> 1;
-          if (z < 0 || z >= Lout.d || y < 0 || y >= Lout.h || x < 0 ||
-              x >= Lout.w) {
-            row[i] = -1;
-            continue;
-          }
-          row[i] = Lout.map.find(key_of(z, y, x, Lout));
-        }
-      }
+      for (int dx = -1; dx <= 1; ++dx, ++k)
+        merge_tap(Lout, n, cap, out + static_cast<int64_t>(k) * cap,
+                  [&](int64_t i) -> int64_t {
+                    const int64_t zz = c[i * 3] - dz, yy = c[i * 3 + 1] - dy,
+                                  xx = c[i * 3 + 2] - dx;
+                    if ((zz & 1) || (yy & 1) || (xx & 1)) return -1;
+                    const int64_t z = zz >> 1, y = yy >> 1, x = xx >> 1;
+                    if (z < 0 || z >= Lout.d || y < 0 || y >= Lout.h ||
+                        x < 0 || x >= Lout.w)
+                      return -1;
+                    return key_of(z, y, x, Lout);
+                  });
 }
 
 }  // namespace
@@ -408,28 +430,52 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
     levels[l].h = (levels[l - 1].h - 1) / 2 + 1;
     levels[l].w = (levels[l - 1].w - 1) / 2 + 1;
   }
-  // level 0 actives from input coords
-  levels[0].map.init(caps[0]);
-  levels[0].coords.reserve(static_cast<size_t>(caps[0]) * 3);
-  for (int64_t i = 0; i < caps[0]; ++i) {
-    const int32_t z = coords0[i * 3], y = coords0[i * 3 + 1],
-                  x = coords0[i * 3 + 2];
-    if (z < 0) continue;
-    levels[0].map.insert(key_of(z, y, x, levels[0]),
-                         static_cast<int32_t>(levels[0].coords.size() / 3));
-    levels[0].coords.insert(levels[0].coords.end(), {z, y, x});
+  // level 0 actives from input coords (key-sorted by contract — the
+  // voxelizer emits sorted uniques; re-sort defensively if violated)
+  {
+    Level& L0 = levels[0];
+    L0.coords.reserve(static_cast<size_t>(caps[0]) * 3);
+    L0.keys.reserve(caps[0]);
+    bool sorted = true;
+    for (int64_t i = 0; i < caps[0]; ++i) {
+      const int32_t z = coords0[i * 3], y = coords0[i * 3 + 1],
+                    x = coords0[i * 3 + 2];
+      if (z < 0) continue;
+      const int64_t k = key_of(z, y, x, L0);
+      if (!L0.keys.empty() && k <= L0.keys.back()) sorted = false;
+      L0.keys.push_back(k);
+      L0.coords.insert(L0.coords.end(), {z, y, x});
+    }
+    if (!sorted) {
+      std::sort(L0.keys.begin(), L0.keys.end());
+      L0.keys.erase(std::unique(L0.keys.begin(), L0.keys.end()),
+                    L0.keys.end());
+      const int64_t n = static_cast<int64_t>(L0.keys.size());
+      L0.coords.resize(n * 3);
+      for (int64_t i = 0; i < n; ++i) {
+        const int64_t k = L0.keys[i];
+        L0.coords[i * 3] = static_cast<int32_t>(k / (L0.h * L0.w));
+        L0.coords[i * 3 + 1] = static_cast<int32_t>((k / L0.w) % L0.h);
+        L0.coords[i * 3 + 2] = static_cast<int32_t>(k % L0.w);
+      }
+    }
   }
-  // downsample chain: candidates o in {c/2, (c+1)/2} per dim, first-come
+  // downsample chain: candidates o in {c/2, (c+1)/2} per dim; active set =
+  // sorted unique candidates, lowest keys win at the cap (the device's
+  // _unique_sorted semantics). Dedup via an occupancy bitmap over the
+  // output grid — marking is cache-local (inputs are key-sorted) and the
+  // in-order bit sweep emits the sorted active set directly, replacing a
+  // sort over ~8x the active count.
   for (int l = 1; l < 4; ++l) {
     Level& up = levels[l - 1];
     Level& lo = levels[l];
-    lo.map.init(caps[l]);
-    lo.coords.reserve(static_cast<size_t>(caps[l]) * 3);
     const int64_t n = static_cast<int64_t>(up.coords.size()) / 3;
+    const int64_t total = lo.d * lo.h * lo.w;
+    std::vector<uint64_t> bm((total + 63) / 64, 0);
+    const int64_t lim[3] = {lo.d, lo.h, lo.w};
     for (int64_t i = 0; i < n; ++i) {
       const int64_t c[3] = {up.coords[i * 3], up.coords[i * 3 + 1],
                             up.coords[i * 3 + 2]};
-      const int64_t lim[3] = {lo.d, lo.h, lo.w};
       for (int b = 0; b < 8; ++b) {
         int64_t o[3];
         bool ok = true;
@@ -437,43 +483,32 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
           o[d] = (b >> d & 1) ? (c[d] + 1) / 2 : c[d] / 2;
           if (o[d] >= lim[d]) { ok = false; break; }
         }
-        if (!ok) continue;
-        const int64_t kk = key_of(o[0], o[1], o[2], lo);
-        if (static_cast<int64_t>(lo.coords.size()) / 3 >= caps[l]) continue;
-        if (!lo.map.insert(kk, static_cast<int32_t>(lo.coords.size() / 3)))
-          continue;
-        lo.coords.insert(lo.coords.end(),
-                         {static_cast<int32_t>(o[0]),
-                          static_cast<int32_t>(o[1]),
-                          static_cast<int32_t>(o[2])});
+        if (ok) {
+          const uint64_t k =
+              static_cast<uint64_t>(key_of(o[0], o[1], o[2], lo));
+          bm[k >> 6] |= 1ULL << (k & 63);
+        }
       }
     }
-  }
-  // Sort each downsampled level by linear key so x-consecutive actives
-  // occupy adjacent rows — required by the engine's packed triple gather.
-  // (Level 0 must arrive key-sorted from the caller; the voxelizer sorts.)
-  for (int l = 1; l < 4; ++l) {
-    Level& L = levels[l];
-    const int64_t n = static_cast<int64_t>(L.coords.size()) / 3;
-    std::vector<int64_t> keyv(n);
-    std::vector<int32_t> order(n);
-    for (int64_t i = 0; i < n; ++i) {
-      keyv[i] = key_of(L.coords[i * 3], L.coords[i * 3 + 1],
-                       L.coords[i * 3 + 2], L);
-      order[i] = static_cast<int32_t>(i);
+    lo.keys.reserve(caps[l]);
+    const int64_t nwords = static_cast<int64_t>(bm.size());
+    for (int64_t w = 0;
+         w < nwords && static_cast<int64_t>(lo.keys.size()) < caps[l]; ++w) {
+      uint64_t bits = bm[w];
+      while (bits && static_cast<int64_t>(lo.keys.size()) < caps[l]) {
+        const int t = __builtin_ctzll(bits);
+        lo.keys.push_back((w << 6) + t);
+        bits &= bits - 1;
+      }
     }
-    std::sort(order.begin(), order.end(),
-              [&](int32_t a, int32_t b) { return keyv[a] < keyv[b]; });
-    std::vector<int32_t> nc(n * 3);
-    L.map.init(caps[l]);
-    for (int64_t r = 0; r < n; ++r) {
-      const int32_t i = order[r];
-      nc[r * 3] = L.coords[i * 3];
-      nc[r * 3 + 1] = L.coords[i * 3 + 1];
-      nc[r * 3 + 2] = L.coords[i * 3 + 2];
-      L.map.insert(keyv[i], static_cast<int32_t>(r));
+    const int64_t m = static_cast<int64_t>(lo.keys.size());
+    lo.coords.resize(m * 3);
+    for (int64_t i = 0; i < m; ++i) {
+      const int64_t k = lo.keys[i];
+      lo.coords[i * 3] = static_cast<int32_t>(k / (lo.h * lo.w));
+      lo.coords[i * 3 + 1] = static_cast<int32_t>((k / lo.w) % lo.h);
+      lo.coords[i * 3 + 2] = static_cast<int32_t>(k % lo.w);
     }
-    L.coords.swap(nc);
   }
   // write outputs
   int32_t* coord_bufs[4] = {nullptr, coords1, coords2, coords3};
@@ -497,25 +532,25 @@ int build_plans(const int32_t* coords0, const int64_t* caps,
   // aux neighborhood plans: level-0 voxel -> 3x3x3 ring of its level-L parent
   const Level& L0 = levels[0];
   const int64_t n0 = static_cast<int64_t>(L0.coords.size()) / 3;
+  const int32_t* c0 = L0.coords.data();
   for (int l = 1; l < 4; ++l) {
     const Level& L = levels[l];
     int32_t* buf = aux_bufs[l];
-    int k = 0;
+    int g = 0;
     for (int dz = -1; dz <= 1; ++dz)
-      for (int dy = -1; dy <= 1; ++dy)
-        for (int dx = -1; dx <= 1; ++dx, ++k) {
-          int32_t* row = buf + static_cast<int64_t>(k) * caps[0];
-          for (int64_t i = 0; i < n0; ++i) {
-            const int64_t z = (L0.coords[i * 3] >> l) + dz;
-            const int64_t y = (L0.coords[i * 3 + 1] >> l) + dy;
-            const int64_t x = (L0.coords[i * 3 + 2] >> l) + dx;
-            if (z < 0 || z >= L.d || y < 0 || y >= L.h || x < 0 || x >= L.w) {
-              row[i] = -1;
-              continue;
-            }
-            row[i] = L.map.find(key_of(z, y, x, L));
-          }
-        }
+      for (int dy = -1; dy <= 1; ++dy, ++g) {
+        int32_t* rows = buf + static_cast<int64_t>(g) * 3 * caps[0];
+        merge_tap3(
+            L, n0, caps[0], rows, rows + caps[0], rows + 2 * caps[0],
+            [&](int64_t i) -> int64_t {
+              const int64_t z = (c0[i * 3] >> l) + dz;
+              const int64_t y = (c0[i * 3 + 1] >> l) + dy;
+              if (z < 0 || z >= L.d || y < 0 || y >= L.h) return -1;
+              return key_of(z, y, (c0[i * 3 + 2] >> l), L);
+            },
+            [&](int64_t i) { return (c0[i * 3 + 2] >> l) >= 1; },
+            [&](int64_t i) { return (c0[i * 3 + 2] >> l) + 1 < L.w; });
+      }
   }
   return 0;
 }

@@ -114,7 +114,8 @@ def rescore_and_nms(boxes, scores, labels, valid, *,
             vals, sel = jax.lax.top_k(jnp.where(ok, sc, -1.0), nms_pre)
             bx, lb, sc, ok = bx[sel], lb[sel], sc[sel], ok[sel] & (vals > 0)
         order, keep = riou.rotate_nms(
-            riou.boxes3d_to_bev5(bx), sc, nms_iou_thr, valid=ok)
+            riou.boxes3d_to_bev5(bx), sc, nms_iou_thr, valid=ok,
+            max_det=max_det)
         # kept boxes first, sorted by score
         rank = jnp.where(keep, jnp.arange(keep.shape[0]), keep.shape[0])
         take = jnp.argsort(rank)[:max_det]

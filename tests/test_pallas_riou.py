@@ -43,3 +43,30 @@ def test_pallas_zero_padding_safe():
     b = random_bev(rng, 8)
     got = np.asarray(rotate_overlap_pallas(jnp.asarray(a), jnp.asarray(b), 2))
     assert np.all(got[4:] == 0.0)
+
+
+def test_pallas_degenerate_pairs():
+    """Identical, touching, contained, and disjoint boxes — the cases where
+    the Green's-theorem boundary decomposition needs its direction-aware
+    tie-break (coincident arcs counted net-once)."""
+    boxes = np.array([
+        [0.0, 0.0, 2.0, 4.0, 0.0],        # 0: base
+        [0.0, 0.0, 2.0, 4.0, 0.0],        # 1: identical
+        [2.0, 0.0, 2.0, 4.0, 0.0],        # 2: touching (shares edge x=1)
+        [0.0, 0.0, 1.0, 2.0, 0.0],        # 3: contained (shares no edge)
+        [10.0, 10.0, 2.0, 4.0, 0.0],      # 4: disjoint
+        [0.5, 0.0, 2.0, 4.0, 0.0],        # 5: overlap, collinear edges
+        [0.0, 0.0, 2.0, 4.0, np.pi / 2],  # 6: rotated 90 deg, same center
+        [0.0, 0.0, 2.0, 4.0, np.pi],      # 7: rotated 180 = identical shape
+    ], np.float32)
+    got = np.asarray(rotate_overlap_pallas(
+        jnp.asarray(boxes), jnp.asarray(boxes), 2))
+    expect = riou.rotate_overlap_bev_np(boxes, boxes, use_native=False)
+    np.testing.assert_allclose(got, expect, atol=5e-3)
+    # the headline degenerates, asserted explicitly
+    assert abs(got[0, 1] - 8.0) < 1e-2        # identical -> full area
+    assert abs(got[0, 2]) < 1e-2              # touching -> 0
+    assert abs(got[0, 3] - 2.0) < 1e-2        # contained -> area of inner
+    assert got[0, 4] == 0.0                   # disjoint
+    assert abs(got[0, 7] - 8.0) < 1e-2        # 180-deg flip == identical
+    assert abs(got[0, 6] - 4.0) < 1e-2        # plus-sign overlap 2x2

@@ -133,3 +133,30 @@ def test_nms_respects_valid_mask():
     order, keep = riou.rotate_nms(boxes, scores, 0.99, valid=valid)
     kept = np.asarray(order)[np.asarray(keep)]
     assert np.all(kept < 4)
+
+
+def test_blocked_nms_matches_full():
+    """The early-exit blocked NMS must agree with the one-matrix fixpoint on
+    the first max_det kept boxes, across densities and thresholds."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    for n, max_det, thr in [(700, 20, 0.1), (700, 300, 0.3), (513, 5, 0.5),
+                            (1000, 100, 0.1)]:
+        boxes = np.concatenate([
+            rng.uniform(0, 40, (n, 2)), rng.uniform(1.5, 4.5, (n, 2)),
+            rng.uniform(-np.pi, np.pi, (n, 1))], 1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.random(n) < 0.8
+        order_f, keep_f = riou.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thr,
+            valid=jnp.asarray(valid))
+        order_b, keep_b = riou.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thr,
+            valid=jnp.asarray(valid), max_det=max_det, block_size=256)
+        np.testing.assert_array_equal(np.asarray(order_f),
+                                      np.asarray(order_b))
+        kf = np.asarray(order_f)[np.asarray(keep_f)][:max_det]
+        kb = np.asarray(order_b)[np.asarray(keep_b)][:max_det]
+        np.testing.assert_array_equal(kf, kb, err_msg=f"n={n} md={max_det}")
+        # blocked keep flags are a prefix-faithful subset of full greedy
+        assert np.all(~np.asarray(keep_b) | np.asarray(keep_f))
