@@ -85,12 +85,19 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 total_epochs: Optional[int] = None, mesh=None,
                 logger: Optional[logging.Logger] = None,
                 resume: bool = True, epoch_callback=None,
-                eval_interval: Optional[int] = None):
+                eval_interval: Optional[int] = None,
+                epochs_per_run: Optional[int] = None):
     """Full training run. Returns (params, state, final_step).
 
     epoch_callback(epoch, params, state): optional hook run after each
     checkpointed epoch (the analog of the reference's KittiEvalmAPHook,
     eval_hooks.py:190+ — which is bitrotted there); eval_interval gates it.
+
+    epochs_per_run: bound this PROCESS to N epochs and return, while the
+    optimizer schedule stays pinned to total_epochs — for preemptible or
+    leak-prone hosts, an outer loop relaunches the process and checkpoint
+    resume continues exactly where it stopped (the reference has no analog:
+    its resume is unwired, train.py:92).
     """
     logger = logger or logging.getLogger("sassd")
     work_dir = work_dir or cfg.work_dir
@@ -132,9 +139,13 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                                     for t in (params, state, opt_state))
     train_step = make_train_step(cfg, anchors, tx, mesh)
 
+    end_epoch = total_epochs
+    if epochs_per_run is not None:
+        end_epoch = min(total_epochs, start_epoch + epochs_per_run)
+
     from sassd_tpu.data.loader import iterate_batches
     buf = LogBuffer()
-    for epoch in range(start_epoch, total_epochs):
+    for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         for batch, _metas in iterate_batches(
                 dataset, local_bs, epoch=epoch, seed=cfg.train.seed,
@@ -156,7 +167,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 buf.clear()
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
         if ((epoch + 1) % cfg.train.checkpoint_interval == 0
-                or epoch == total_epochs - 1):
+                or epoch == end_epoch - 1):
             if host_id == 0:   # params are replicated; one writer suffices
                 path = ckpt_lib.save(work_dir, epoch, step,
                                      jax.device_get(params),

@@ -61,13 +61,17 @@ def test_overfit_single_scene():
     anchors = jnp.asarray(build_anchors(cfg)[0])
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
     tx = optim.make_optimizer(
-        dataclasses.replace(cfg.train, lr=0.003), total_steps=250)
+        dataclasses.replace(cfg.train, lr=0.003), total_steps=600)
     opt_state = tx.init(params)
     step = loop.make_train_step(cfg, anchors, tx)
 
     first = None
     p, s, o = params, state, opt_state
-    for i in range(250):
+    # 600 steps: 250/400 leave the second GT's IoU chaotically near the 0.3
+    # gate (measured [0.33,0.29] / [0.23,0.40]); 600 is robustly clear
+    # ([0.92,0.50]) — PSWarp + direction-head convergence is non-monotone
+    # early on.
+    for i in range(600):
         p, s, o, metrics = step(p, s, o, batch)
         if first is None:
             first = {k: float(v) for k, v in metrics.items()}
@@ -75,7 +79,7 @@ def test_overfit_single_scene():
     assert last["loss"] < first["loss"] * 0.5, (first, last)
     assert last["rpn_cls_loss"] < first["rpn_cls_loss"]
 
-    # low score threshold: 250 steps is enough to localize but the PSWarp
+    # low score threshold: 600 steps is enough to localize but the PSWarp
     # rescorer (positives need IoU>=0.7) converges slower than the RPN
     cfg_t = dataclasses.replace(
         cfg, test=dataclasses.replace(cfg.test, score_thr=0.05))

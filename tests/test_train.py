@@ -120,3 +120,50 @@ def test_dp_mesh_train_step(setup):
     assert np.isfinite(float(metrics["loss"]))
     # two identical shards -> same loss as single-shard run on the same data
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_epochs_per_run_resumes_schedule(tmp_path):
+    """Bounded-session training: two 1-epoch processes must reproduce one
+    2-epoch run exactly (checkpoint resume keeps the OneCycle schedule
+    pinned to total_epochs; the leak/preemption workaround must not change
+    the math)."""
+    import dataclasses
+
+    from sassd_tpu.data import synthetic
+    from sassd_tpu.data.kitti import KittiDataset
+    from sassd_tpu.ops.voxelize import VoxelConfig
+
+    root = tmp_path / "kitti"
+    synthetic.write_synthetic_kitti(root, n_train=4, n_val=2, seed=0)
+    c = tiny_config()
+    cfg = dataclasses.replace(
+        c,
+        voxel=VoxelConfig(voxel_size=(0.4, 0.4, 0.5),
+                          point_cloud_range=(0, -40.0, -3.0, 70.4, 40.0, 1.0),
+                          max_num_points=5, max_voxels=4000),
+        anchors={"Car": dataclasses.replace(
+            c.anchors["Car"], strides=(3.2, 3.2, 1.0),
+            offsets=(1.6, -38.4, -1.78))},
+        train=dataclasses.replace(c.train, batch_size=2, seed=3,
+                                  checkpoint_interval=1, log_interval=100),
+    )
+    ds = KittiDataset(cfg, root / "training", root / "ImageSets" / "train.txt")
+
+    # one continuous 2-epoch run
+    p_ref, _s, step_ref = loop.train_model(
+        cfg, ds, work_dir=str(tmp_path / "cont"), total_epochs=2,
+        resume=False)
+    # two bounded 1-epoch sessions sharing a work_dir
+    p1, _s, step1 = loop.train_model(
+        cfg, ds, work_dir=str(tmp_path / "chunk"), total_epochs=2,
+        epochs_per_run=1, resume=True)
+    assert step1 == step_ref // 2
+    p2, _s, step2 = loop.train_model(
+        cfg, ds, work_dir=str(tmp_path / "chunk"), total_epochs=2,
+        epochs_per_run=1, resume=True)
+    assert step2 == step_ref
+    ref = jax.tree_util.tree_leaves(jax.device_get(p_ref))
+    got = jax.tree_util.tree_leaves(jax.device_get(p2))
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

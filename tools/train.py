@@ -28,6 +28,11 @@ def main():
                     help="train on generated synthetic scenes (no KITTI)")
     ap.add_argument("--eval_interval", type=int, default=None,
                     help="run val evaluation every N epochs")
+    ap.add_argument("--epochs_per_run", type=int, default=None,
+                    help="bound THIS process to N epochs (schedule stays "
+                         "pinned to --epochs); exits 75 if more epochs "
+                         "remain so an outer loop can relaunch + resume — "
+                         "for preemptible or leak-prone hosts")
     ap.add_argument("--dist", action="store_true",
                     help="multi-host: jax.distributed.initialize() with "
                          "cluster auto-detection (TPU pod metadata)")
@@ -94,10 +99,16 @@ def main():
                                   os.path.join(data_root, "label_2"))
             logger.info("eval after epoch %d:\n%s", epoch, text)
 
-    train_model(cfg, dataset, work_dir=cfg.work_dir,
-                total_epochs=args.epochs, mesh=mesh, logger=logger,
-                epoch_callback=epoch_callback,
-                eval_interval=args.eval_interval)
+    _p, _s, step = train_model(cfg, dataset, work_dir=cfg.work_dir,
+                               total_epochs=args.epochs, mesh=mesh,
+                               logger=logger, epoch_callback=epoch_callback,
+                               eval_interval=args.eval_interval,
+                               epochs_per_run=args.epochs_per_run)
+    if args.epochs_per_run is not None:
+        total = args.epochs or cfg.train.total_epochs
+        spe = max(-(-len(dataset) // cfg.train.batch_size), 1)
+        if step < spe * total:
+            sys.exit(75)        # more epochs remain; relaunch to continue
 
 
 if __name__ == "__main__":
