@@ -100,6 +100,9 @@ class TrainConfig:
     extra_similarity: str = "RotateIou3dSimilarity"
     rpn_similarity: str = "NearestIouSimilarity"
     checkpoint_interval: int = 2       # epochs
+    checkpoint_every_steps: int = 0    # mid-epoch saves every N steps
+                                       # (0 = off); resume fast-forwards
+                                       # the loader past consumed batches
     max_ckpt_keep: int = 10
     log_interval: int = 20
     seed: int = 0

@@ -41,11 +41,18 @@ def iterate_batches(dataset, batch_size: int, *, epoch: int = 0,
                     shuffle: bool = True, seed: int = 0,
                     num_shards: int = 1, shard_id: int = 0,
                     num_workers: int = 4,
-                    prefetch: int = 2) -> Iterator:
-    """Yield (batch_dict, metas) with background sample preparation."""
+                    prefetch: int = 2, start_batch: int = 0) -> Iterator:
+    """Yield (batch_dict, metas) with background sample preparation.
+
+    start_batch: skip the first N batches of this epoch's (deterministic)
+    order without paying their host preprocessing — mid-epoch resume for
+    step-interval checkpoints."""
     idx = epoch_indices(len(dataset), epoch, seed, shuffle,
                         num_shards, shard_id, batch_size)
     n_batches = len(idx) // batch_size
+    if start_batch:
+        idx = idx[start_batch * batch_size:]
+        n_batches -= start_batch
     if num_workers <= 0:
         for b in range(n_batches):
             samples = [dataset[int(i)]

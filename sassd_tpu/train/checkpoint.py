@@ -22,27 +22,43 @@ import jax
 import numpy as np
 from flax import serialization
 
-_NAME = re.compile(r"checkpoint_epoch_(\d+)\.msgpack$")
+_NAME = re.compile(r"checkpoint_epoch_(\d+)(?:_step_(\d+))?\.msgpack$")
 
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _sort_key(path: str):
+    """Chronological order: mid-epoch saves of epoch E precede its
+    end-of-epoch save."""
+    m = _NAME.search(path)
+    batch = int(m.group(2)) if m.group(2) else 1 << 30
+    return (int(m.group(1)), batch)
+
+
 def save(work_dir: str, epoch: int, step: int, params, state, opt_state,
-         max_keep: int = 10) -> str:
-    """Write a checkpoint and prune old ones."""
+         max_keep: int = 10, batch_idx: Optional[int] = None) -> str:
+    """Write a checkpoint and prune old ones.
+
+    batch_idx: when given, this is a MID-EPOCH save after `batch_idx`
+    batches of `epoch` — resume restarts the same epoch, fast-forwarding
+    the (deterministic) loader order past the consumed batches. Without
+    it the save marks the epoch complete (resume starts at epoch+1)."""
     Path(work_dir).mkdir(parents=True, exist_ok=True)
     payload = dict(params=_to_host(params), state=_to_host(state),
                    opt_state=serialization.to_state_dict(_to_host(opt_state)),
-                   epoch=epoch, step=step)
-    path = Path(work_dir) / f"checkpoint_epoch_{epoch}.msgpack"
+                   epoch=epoch, step=step,
+                   batch_idx=-1 if batch_idx is None else int(batch_idx))
+    name = (f"checkpoint_epoch_{epoch}.msgpack" if batch_idx is None
+            else f"checkpoint_epoch_{epoch}_step_{batch_idx}.msgpack")
+    path = Path(work_dir) / name
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
 
-    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: p[0])
+    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: _sort_key(p[1]))
     for e, p in ckpts[:-max_keep]:
         os.remove(p)
     return str(path)
@@ -58,15 +74,16 @@ def list_checkpoints(work_dir: str):
 
 
 def latest_checkpoint(work_dir: str) -> Optional[str]:
-    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: p[0])
+    ckpts = sorted(list_checkpoints(work_dir), key=lambda p: _sort_key(p[1]))
     return ckpts[-1][1] if ckpts else None
 
 
 def restore(path: str, params_like, state_like, opt_state_like
-            ) -> Tuple[Any, Any, Any, int, int]:
+            ) -> Tuple[Any, Any, Any, int, int, int]:
     """Load a checkpoint into the shape of freshly-initialized pytrees.
 
-    Returns (params, state, opt_state, epoch, step). Like the reference's
+    Returns (params, state, opt_state, epoch, step, batch_idx); batch_idx
+    is -1 for end-of-epoch checkpoints (see save). Like the reference's
     load_params_from_file (:154-180), parameter shapes are validated by
     construction (from_state_dict fails loudly on mismatch).
     """
@@ -76,7 +93,8 @@ def restore(path: str, params_like, state_like, opt_state_like
     state = serialization.from_state_dict(state_like, payload["state"])
     opt_state = serialization.from_state_dict(opt_state_like,
                                               payload["opt_state"])
-    return params, state, opt_state, int(payload["epoch"]), int(payload["step"])
+    return (params, state, opt_state, int(payload["epoch"]),
+            int(payload["step"]), int(payload.get("batch_idx", -1)))
 
 
 def load_params_only(path: str, params_like):

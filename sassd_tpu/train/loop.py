@@ -24,11 +24,60 @@ from . import checkpoint as ckpt_lib
 from . import optim as optim_lib
 
 
+# ---------------------------------------------------------------------------
+# batch packing: one host->device buffer per dtype
+#
+# On networked accelerators every h2d transfer is an RPC; a train batch is
+# ~28 separate arrays (voxels, coords, masks, 13 rulebook plans, ...) and
+# the per-array round trips dominate the step wall time. Packing flattens
+# all same-dtype arrays into ONE [B, total] buffer per dtype (4 transfers),
+# and the jitted step unpacks with free static slices. The layout is a pure
+# function of the batch's (static) shapes, so it is computed once from a
+# template and closed over at trace time.
+# ---------------------------------------------------------------------------
+
+def batch_pack_layout(template: Dict[str, np.ndarray]):
+    """[(dtype_group, key, shape)] layout + per-group order, from one batch."""
+    groups: Dict[str, list] = {}
+    for k in sorted(template):
+        v = template[k]
+        g = np.dtype(v.dtype).str
+        groups.setdefault(g, []).append((k, tuple(v.shape)))
+    return groups
+
+
+def pack_batch(batch: Dict[str, np.ndarray], layout) -> Dict[str, np.ndarray]:
+    out = {}
+    for g, entries in layout.items():
+        parts = [np.ascontiguousarray(batch[k]).reshape(batch[k].shape[0], -1)
+                 for k, _shape in entries]
+        out[g] = np.concatenate(parts, axis=1)
+    return out
+
+
+def unpack_batch(packed, layout):
+    batch = {}
+    for g, entries in layout.items():
+        buf = packed[g]
+        off = 0
+        for k, shape in entries:
+            n = int(np.prod(shape[1:]))
+            batch[k] = jax.lax.slice_in_dim(buf, off, off + n,
+                                            axis=1).reshape(shape)
+            off += n
+    return batch
+
+
 def make_train_step(cfg: SASSDConfig, anchors, tx,
-                    mesh=None):
-    """Build the jitted train step (donates params/state/opt_state)."""
+                    mesh=None, packed_layout=None):
+    """Build the jitted train step (donates params/state/opt_state).
+
+    packed_layout: optional batch_pack_layout(...) — the step then takes a
+    pack_batch()-ed dict (one buffer per dtype) and unpacks on device."""
 
     def step(params, state, opt_state, batch):
+        if packed_layout is not None:
+            batch = unpack_batch(batch, packed_layout)
         def loss_fn(p):
             losses, new_state = detector.forward_train(
                 p, state, batch, anchors, cfg)
@@ -121,23 +170,30 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     tx = optim_lib.make_optimizer(cfg.train, total_steps)
     opt_state = tx.init(params)
 
-    start_epoch, step = 0, 0
+    start_epoch, step, start_batch = 0, 0, 0
     if cfg.load_from:
         params = ckpt_lib.load_params_only(cfg.load_from, params)
         logger.info("loaded params from %s", cfg.load_from)
     ckpt_path = cfg.resume_from or (
         ckpt_lib.latest_checkpoint(work_dir) if resume else None)
     if ckpt_path:
-        params, state, opt_state, start_epoch, step = ckpt_lib.restore(
+        params, state, opt_state, start_epoch, step, bidx = ckpt_lib.restore(
             ckpt_path, params, state, opt_state)
-        start_epoch += 1
-        logger.info("resumed from %s (epoch %d, step %d)",
-                    ckpt_path, start_epoch, step)
+        if bidx >= 0:          # mid-epoch save: restart the SAME epoch,
+            start_batch = bidx  # fast-forwarding past consumed batches
+        else:
+            start_epoch += 1
+        logger.info("resumed from %s (epoch %d, step %d, batch %d)",
+                    ckpt_path, start_epoch, step, start_batch)
 
     if mesh is not None:
         params, state, opt_state = (mesh_lib.replicate(mesh, t)
                                     for t in (params, state, opt_state))
-    train_step = make_train_step(cfg, anchors, tx, mesh)
+    # pack each batch into one h2d buffer per dtype (see batch_pack_layout)
+    from sassd_tpu.data.loader import collate
+    layout = batch_pack_layout(collate([dataset[0]] * local_bs)[0])
+    train_step = make_train_step(cfg, anchors, tx, mesh,
+                                 packed_layout=layout)
 
     end_epoch = total_epochs
     if epochs_per_run is not None:
@@ -145,17 +201,31 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
 
     from sassd_tpu.data.loader import iterate_batches
     buf = LogBuffer()
+    every = getattr(cfg.train, "checkpoint_every_steps", 0) or 0
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
+        bidx = start_batch
         for batch, _metas in iterate_batches(
                 dataset, local_bs, epoch=epoch, seed=cfg.train.seed,
                 shuffle=True, num_shards=num_hosts, shard_id=host_id,
-                num_workers=cfg.data.num_workers):
-            dev_batch = (mesh_lib.shard_batch(mesh, batch)
-                         if mesh is not None else batch)
+                num_workers=cfg.data.num_workers, start_batch=start_batch):
+            packed = pack_batch(batch, layout)
+            dev_batch = (mesh_lib.shard_batch(mesh, packed)
+                         if mesh is not None else packed)
             params, state, opt_state, metrics = train_step(
                 params, state, opt_state, dev_batch)
             step += 1
+            bidx += 1
+            if every and bidx < steps_per_epoch and step % every == 0:
+                if host_id == 0:
+                    path = ckpt_lib.save(work_dir, epoch, step,
+                                         jax.device_get(params),
+                                         jax.device_get(state),
+                                         jax.device_get(opt_state),
+                                         max_keep=cfg.train.max_ckpt_keep,
+                                         batch_idx=bidx)
+                    logger.info("saved %s", path)
+                dist.barrier(f"ckpt_step_{step}")
             buf.update(metrics)          # device scalars; no per-step sync
             if step % cfg.train.log_interval == 0:
                 avg = buf.averages()
@@ -165,6 +235,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 logger.info("epoch %d step %d lr %.5f mom %.3f %s",
                             epoch, step, lr, mom, msg)
                 buf.clear()
+        start_batch = 0                  # fast-forward applies once
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
         if ((epoch + 1) % cfg.train.checkpoint_interval == 0
                 or epoch == end_epoch - 1):

@@ -70,7 +70,8 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     # restore into freshly initialized trees
     p2, s2 = detector.detector_init(jax.random.PRNGKey(42), cfg)
     o2 = tx.init(p2)
-    rp, rs, ro, epoch, stepno = ckpt.restore(path, p2, s2, o2)
+    rp, rs, ro, epoch, stepno, bidx = ckpt.restore(path, p2, s2, o2)
+    assert bidx == -1
     assert (epoch, stepno) == (1, 3)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p)),
                     jax.tree_util.tree_leaves(rp)):
@@ -161,6 +162,65 @@ def test_epochs_per_run_resumes_schedule(tmp_path):
     p2, _s, step2 = loop.train_model(
         cfg, ds, work_dir=str(tmp_path / "chunk"), total_epochs=2,
         epochs_per_run=1, resume=True)
+    assert step2 == step_ref
+    ref = jax.tree_util.tree_leaves(jax.device_get(p_ref))
+    got = jax.tree_util.tree_leaves(jax.device_get(p2))
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_step_interval_checkpoint_resumes_mid_epoch(tmp_path):
+    """checkpoint_every_steps: a session killed mid-epoch resumes from the
+    step save, fast-forwards the loader past consumed batches, and ends
+    identical to a continuous run."""
+    import dataclasses
+
+    from sassd_tpu.data import synthetic
+    from sassd_tpu.data.kitti import KittiDataset
+    from sassd_tpu.ops.voxelize import VoxelConfig
+    from sassd_tpu.train import checkpoint as ckpt_lib
+
+    root = tmp_path / "kitti"
+    synthetic.write_synthetic_kitti(root, n_train=8, n_val=2, seed=0)
+    c = tiny_config()
+    base = dataclasses.replace(
+        c,
+        voxel=VoxelConfig(voxel_size=(0.4, 0.4, 0.5),
+                          point_cloud_range=(0, -40.0, -3.0, 70.4, 40.0, 1.0),
+                          max_num_points=5, max_voxels=4000),
+        anchors={"Car": dataclasses.replace(
+            c.anchors["Car"], strides=(3.2, 3.2, 1.0),
+            offsets=(1.6, -38.4, -1.78))},
+        train=dataclasses.replace(c.train, batch_size=2, seed=5,
+                                  checkpoint_interval=1, log_interval=100),
+    )
+    ds = KittiDataset(base, root / "training",
+                      root / "ImageSets" / "train.txt")
+
+    p_ref, _s, step_ref = loop.train_model(
+        base, ds, work_dir=str(tmp_path / "cont"), total_epochs=1,
+        resume=False)
+    assert step_ref == 4                 # 8 scans / bs 2
+
+    # saving every 3 steps -> a mid-epoch checkpoint at batch 3
+    cfg_step = dataclasses.replace(
+        base, train=dataclasses.replace(base.train,
+                                        checkpoint_every_steps=3))
+    loop.train_model(cfg_step, ds, work_dir=str(tmp_path / "chunk"),
+                     total_epochs=1, resume=False)
+    mids = [p for _e, p in ckpt_lib.list_checkpoints(str(tmp_path / "chunk"))
+            if "_step_" in p]
+    assert mids, "no mid-epoch checkpoint written"
+    # simulate a crash right after the step save: delete the end-of-epoch
+    # file and resume — must replay only batch 4 and match the reference
+    import os
+    for _e, p in ckpt_lib.list_checkpoints(str(tmp_path / "chunk")):
+        if "_step_" not in p:
+            os.remove(p)
+    p2, _s2, step2 = loop.train_model(
+        cfg_step, ds, work_dir=str(tmp_path / "chunk"), total_epochs=1,
+        resume=True)
     assert step2 == step_ref
     ref = jax.tree_util.tree_leaves(jax.device_get(p_ref))
     got = jax.tree_util.tree_leaves(jax.device_get(p2))
