@@ -13,14 +13,21 @@ import jax
 import jax.numpy as jnp
 
 from sassd_tpu.config import SASSDConfig
-from sassd_tpu.data.loader import iterate_batches
+from sassd_tpu.data.loader import collate, iterate_batches
 from sassd_tpu.eval import kitti_eval
 from sassd_tpu.eval.results import detections_to_kitti_anno
 from sassd_tpu.models import detector
 
 
-def make_test_step(cfg: SASSDConfig, anchors):
+def make_test_step(cfg: SASSDConfig, anchors, packed_layout=None):
+    """packed_layout: optional train.loop.batch_pack_layout(...) — the step
+    then takes a pack_batch()-ed dict (one h2d buffer per dtype; on
+    networked accelerators per-array transfer RPCs dominate otherwise)."""
+    from sassd_tpu.train.loop import unpack_batch
+
     def step(params, state, batch):
+        if packed_layout is not None:
+            batch = unpack_batch(batch, packed_layout)
         return detector.forward_test(params, state, batch, anchors, cfg)
     return jax.jit(step)
 
@@ -35,15 +42,17 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
     rank-strided DistEvalHook, eval_hooks.py:23-108); padding duplicates are
     deduplicated by sample id at merge time.
     """
+    from sassd_tpu.train.loop import batch_pack_layout, pack_batch
     logger = logger or logging.getLogger("sassd")
     anchors = jnp.asarray(dataset.anchors)
-    step = make_test_step(cfg, anchors)
+    layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
+    step = make_test_step(cfg, anchors, packed_layout=layout)
     class_names = list(cfg.class_names)
     annos, ids = [], []
     for batch, metas in iterate_batches(
             dataset, batch_size, shuffle=False, num_workers=2,
             num_shards=num_shards, shard_id=shard_id):
-        dets = jax.device_get(step(params, state, batch))
+        dets = jax.device_get(step(params, state, pack_batch(batch, layout)))
         for i, meta in enumerate(metas):
             annos.append(detections_to_kitti_anno(
                 dets["boxes"][i], dets["scores"][i], dets["labels"][i],
