@@ -1,5 +1,13 @@
 #!/usr/bin/env python
-"""Stage timing of the inference graph on the current device (unbuffered)."""
+"""Stage timing of the inference graph on the current device (unbuffered).
+
+MEASUREMENT CAVEAT (see PERF.md "Measurement methodology"): on tunneled
+accelerator runtimes, isolated small-graph timings are unreliable — XLA
+fuses stages into their sync consumer, and repeated-identical-argument
+dispatch loops can be served from opaque runtime caches. Treat the
+per-stage numbers here as indicative only; the trustworthy figures are the
+FULL graph over ROTATING inputs (the `full` mode below, same protocol as
+bench.py) and full-graph ablation diffs."""
 import os
 import sys
 
@@ -209,12 +217,34 @@ def main():
         log("rescore+nms:", timeit(nms_fn, ga, scores) * 1e3, "ms")
 
     if "full" in which:
+        # trustworthy protocol: rotate distinct scans across dispatches
+        import time
+
         @jax.jit
         def full_fn(params, state, batch):
             return detector.forward_test(params, state, batch, anchors, cfg)
-        log("FULL inference:",
-            timeit(full_fn, params, state, batch, warmup=2, iters=8) * 1e3,
-            "ms")
+
+        rots = [batch]
+        for i in range(3):
+            pts_i, _, _ = make_scene(rng, n_cars=(6, 12), n_ground=60000)
+            v_i, c_i, n_i = voxelize_np(pts_i, cfg.voxel, pad=True)
+            b = dict(batch)
+            b["voxels"] = jnp.asarray(v_i[None])
+            b["num_points"] = jnp.asarray(n_i[None])
+            b["coords"] = jnp.asarray(c_i[None])
+            for k, arr in build_host_plans(cfg, c_i).items():
+                b[k] = jnp.asarray(arr[None])
+            rots.append(b)
+        for b in rots:
+            jax.block_until_ready(full_fn(params, state, b))
+        iters = 24
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = full_fn(params, state, rots[i % len(rots)])
+        jax.block_until_ready(out)
+        log("FULL inference (rotating inputs):",
+            (time.perf_counter() - t0) / iters * 1e3, "ms")
 
 
 if __name__ == "__main__":
