@@ -62,8 +62,12 @@ def unpack_batch(packed, layout):
         off = 0
         for k, shape in entries:
             n = int(np.prod(shape[1:]))
+            # leading dim from the buffer, not the template: under a
+            # multi-process mesh the jitted step sees the GLOBAL batch
+            # while the layout was built from a local-batch template
             batch[k] = jax.lax.slice_in_dim(buf, off, off + n,
-                                            axis=1).reshape(shape)
+                                            axis=1).reshape(
+                                                (buf.shape[0],) + shape[1:])
             off += n
     return batch
 
