@@ -92,9 +92,25 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
             loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # Skip non-finite updates entirely (params, BN state AND optimizer
+        # moments): one pathological batch otherwise poisons the run — inf
+        # grads turn into NaN through clip_by_global_norm and every later
+        # checkpoint is garbage. The reference has no such guard.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm) & jnp.isfinite(
+            sum(jnp.sum(v) for v in losses.values()))
+
+        def keep_if_ok(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+
+        new_params = keep_if_ok(new_params, params)
+        new_state = keep_if_ok(new_state, state)
+        new_opt = keep_if_ok(new_opt, opt_state)
         metrics = dict(losses)
         metrics["loss"] = sum(losses.values())
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        metrics["nonfinite_skips"] = 1.0 - ok.astype(jnp.float32)
         return new_params, new_state, new_opt, metrics
 
     if mesh is not None:
