@@ -227,3 +227,34 @@ def test_step_interval_checkpoint_resumes_mid_epoch(tmp_path):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_nonfinite_update_skipped(setup):
+    """A batch that explodes the forward must not change params/opt state
+    (the skip guard), and the skip must be visible in metrics."""
+    cfg, params, state, anchors, batch = setup
+    params, state = _copy(params), _copy(state)
+    tx = optim.make_optimizer(cfg.train, total_steps=100)
+    opt_state = tx.init(params)
+    step = loop.make_train_step(cfg, anchors, tx)
+    bad = dict(batch)
+    bad["voxels"] = batch["voxels"].at[..., :].set(1e30)
+    # the step donates its inputs — snapshot to host before calling
+    params_before = jax.device_get(params)
+    opt_before = jax.device_get(opt_state)
+    p2, s2, o2, m = step(params, state, opt_state, bad)
+    assert float(m["nonfinite_skips"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_before),
+                    jax.tree_util.tree_leaves(jax.device_get(o2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and a good batch afterwards still updates
+    p3, _s3, _o3, m3 = step(p2, s2, o2, batch)
+    assert float(m3["nonfinite_skips"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                        jax.tree_util.tree_leaves(jax.device_get(p3))))
+    assert changed
