@@ -79,6 +79,11 @@ class ModelConfig:
                                        # each kernel row into ONE wide
                                        # gathered row (3x fewer gather rows;
                                        # needs the key-sorted host plans)
+    store_im2col: bool = True          # keep each conv's forward im2col as
+                                       # a VJP residual so the backward dW
+                                       # needs no recompute gather (1 of 3
+                                       # train-step gathers per conv gone,
+                                       # identical numerics, more HBM)
 
 
 @dataclasses.dataclass(frozen=True)

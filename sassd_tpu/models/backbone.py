@@ -114,13 +114,15 @@ def vxnet_init(key, num_input_features: int = 4):
     return params, state
 
 
-def _subm_block(p, s, feats, plan, mask, train, cd, triple=False):
+def _subm_block(p, s, feats, plan, mask, train, cd, triple=False,
+                store_col=False):
     """n x (subm conv + masked BN + ReLU) sharing one gather plan."""
     new_s = {}
     n = sum(1 for k in p if k.startswith("conv"))
     for i in range(n):
         feats = jax.vmap(lambda f, pl: sp.subm_conv(f, p[f"conv{i}"]["w"], pl,
-                                                    cd, triple=triple)
+                                                    cd, triple=triple,
+                                                    store_col=store_col)
                          )(feats, plan)
         feats, new_s[f"bn{i}"] = L.batch_norm(
             p[f"bn{i}"], s[f"bn{i}"], feats, train=train, mask=mask)
@@ -137,7 +139,8 @@ def _host_plan(arr):
 def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 train: bool, compute_dtype=jnp.float32,
                 dense_index: bool = True, host_plans=None,
-                dense_tail: bool = True, triple_gather: bool = True):
+                dense_tail: bool = True, triple_gather: bool = True,
+                store_im2col: bool = True):
     """Run the sparse ladder.
 
     Args:
@@ -164,6 +167,9 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     # host rulebook (csrc sorts levels; the voxelizer sorts level 0), not by
     # the on-device active-set builders
     tg = triple_gather and host_plans is not None
+    # keep forward im2col matrices for the backward dW only when training
+    # (inference never differentiates; saves the residual memory)
+    sc = store_im2col and train
 
     def index_map(keys, shape):
         if host_plans is not None or not dense_index:
@@ -183,7 +189,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     plan0 = subm_plan(0, keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
         params["conv0"], state["conv0"], feats0, plan0, m0, train, cd,
-        triple=tg)
+        triple=tg, store_col=sc)
 
     def down(level, pfx, keys, x, shape, cap, mask, imap):
         out_shape = sp.out_shape_stride2(shape)
@@ -194,7 +200,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             plan = _host_plan(host_plans[f"stride{level}"])
             planT = _host_plan(host_plans[f"strideT{level}"])
             y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
-                cd, tg, f, params[pfx]["conv0"]["w"], i, fo, iT, foT))(
+                cd, tg, sc, f, params[pfx]["conv0"]["w"], i, fo, iT, foT))(
                 x, plan.idx, plan.found, planT.idx, planT.found)
             omask = out_keys != sp.INVALID_KEY
             y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
@@ -231,7 +237,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     imap1 = index_map(keys1, shape1)
     plan1 = subm_plan(1, keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
-        params["conv1"], state["conv1"], x, plan1, m1, train, cd, triple=tg)
+        params["conv1"], state["conv1"], x, plan1, m1, train, cd, triple=tg,
+        store_col=sc)
     mid0 = (keys1, x, shape1)
 
     keys2, x, shape2, m2 = down(2, "down1", keys1, x, shape1, level_caps[2],
@@ -240,7 +247,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     imap2 = index_map(keys2, shape2)
     plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
-        params["conv2"], state["conv2"], x, plan2, m2, train, cd, triple=tg)
+        params["conv2"], state["conv2"], x, plan2, m2, train, cd, triple=tg,
+        store_col=sc)
     mid1 = (keys2, x, shape2)
 
     keys3, x, shape3, m3 = down(3, "down2", keys2, x, shape2, level_caps[3],
@@ -324,7 +332,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     imap3 = index_map(keys3, shape3)
     plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
-        params["conv3"], state["conv3"], x, plan3, m3, train, cd, triple=tg)
+        params["conv3"], state["conv3"], x, plan3, m3, train, cd, triple=tg,
+        store_col=sc)
     mid2 = (keys3, x, shape3)
 
     # extra_conv: 1x1x1 SparseConv3d + BN + ReLU (cmn.py:208-212)

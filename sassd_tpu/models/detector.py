@@ -143,7 +143,8 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
         train=train, compute_dtype=cd, dense_index=cfg.model.dense_index,
         host_plans=host_plans, dense_tail=cfg.model.dense_tail,
-        triple_gather=cfg.model.triple_gather)
+        triple_gather=cfg.model.triple_gather,
+        store_im2col=cfg.model.store_im2col)
 
     if out_keys is None:                     # dense-tail backbone output
         b, d, h, w, c = out_feats.shape

@@ -242,7 +242,8 @@ def _gather(feats, plan: SubmPlan, dtype, triple: bool, kind: str = "subm"):
 
 def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, plan: SubmPlan,
               compute_dtype=jnp.float32,
-              symmetric: bool = True, triple: bool = False) -> jnp.ndarray:
+              symmetric: bool = True, triple: bool = False,
+              store_col: bool = False) -> jnp.ndarray:
     """Submanifold sparse conv: im2col gather + one MXU matmul.
 
     weight: [K, Cin, Cout].
@@ -257,10 +258,15 @@ def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, plan: SubmPlan,
 
     `triple=True` enables the packed gather (see gather_im2col_triple) —
     valid only when the plan's level arrays are key-sorted (host plans).
+
+    `store_col=True` keeps the forward im2col matrix alive as a VJP
+    residual so dW needs no recomputation gather in the backward — one of
+    the three gathers per conv in a train step disappears, at [M, K*Cin]
+    of extra HBM per conv (identical numerics either way).
     """
     if symmetric:
-        return _subm_conv_sym(compute_dtype, triple, feats, weight, plan.idx,
-                              plan.found)
+        return _subm_conv_sym(compute_dtype, triple, store_col, feats,
+                              weight, plan.idx, plan.found)
     return _subm_conv_raw(feats, weight, plan, compute_dtype, triple)
 
 
@@ -272,24 +278,35 @@ def _subm_conv_raw(feats, weight, plan: SubmPlan, compute_dtype,
     return jnp.dot(col, w2, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _subm_conv_sym(compute_dtype, triple, feats, weight, idx, found):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _subm_conv_sym(compute_dtype, triple, store_col, feats, weight, idx,
+                   found):
     return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
                           triple)
 
 
-def _subm_conv_sym_fwd(compute_dtype, triple, feats, weight, idx, found):
+def _subm_conv_sym_fwd(compute_dtype, triple, store_col, feats, weight, idx,
+                       found):
+    if store_col:
+        # materialize the im2col once; the matmul consumes it AND it rides
+        # along as a residual (no recompute gather in the backward)
+        k, cin, cout = weight.shape
+        col = _gather(feats, SubmPlan(idx, found), compute_dtype, triple)
+        w2 = weight.reshape(k * cin, cout).astype(compute_dtype)
+        out = jnp.dot(col, w2, preferred_element_type=jnp.float32)
+        return out, (col, feats, weight, idx, found)
     out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
                          triple)
-    return out, (feats, weight, idx, found)
+    return out, (None, feats, weight, idx, found)
 
 
-def _subm_conv_sym_bwd(compute_dtype, triple, res, d_out):
-    feats, weight, idx, found = res
+def _subm_conv_sym_bwd(compute_dtype, triple, store_col, res, d_out):
+    col, feats, weight, idx, found = res
     k, cin, cout = weight.shape
     plan = SubmPlan(idx, found)
-    # dW: recompute the forward im2col (cheaper than storing it)
-    col = _gather(feats, plan, compute_dtype, triple)
+    if col is None:
+        # dW: recompute the forward im2col (cheaper in memory than storing)
+        col = _gather(feats, plan, compute_dtype, triple)
     dw = jnp.dot(col.T, d_out.astype(compute_dtype),
                  preferred_element_type=jnp.float32).reshape(k, cin, cout)
     # d_feats: gather d_out with the SAME plan, contract with the kernel-
@@ -447,9 +464,9 @@ def to_dense(keys: jnp.ndarray, feats: jnp.ndarray,
     return canvas.at[z, coords[:, 1], coords[:, 2]].set(feats, mode="drop")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def stride_conv_hostT(compute_dtype, triple, feats, weight, idx, found,
-                      idxT, foundT):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def stride_conv_hostT(compute_dtype, triple, store_col, feats, weight, idx,
+                      found, idxT, foundT):
     """Strided sparse conv with a gather-based backward.
 
     Forward is the usual gather-GEMM over the stride plan (idx/found,
@@ -458,22 +475,31 @@ def stride_conv_hostT(compute_dtype, triple, feats, weight, idx, found,
     csrc stride_plan_T) so the gradient w.r.t. the input features is a
     gather + matmul instead of XLA's serialized scatter-add:
         d_in[i] = sum_k W_k . d_out[(i - off_k)/2]   (when on-grid/active)
+
+    `store_col=True`: keep the forward im2col as a residual (see subm_conv).
     """
     return _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
                           triple)
 
 
-def _stride_hostT_fwd(compute_dtype, triple, feats, weight, idx, found,
-                      idxT, foundT):
+def _stride_hostT_fwd(compute_dtype, triple, store_col, feats, weight, idx,
+                      found, idxT, foundT):
+    if store_col:
+        k, cin, cout = weight.shape
+        col = _gather(feats, SubmPlan(idx, found), compute_dtype, triple)
+        w2 = weight.reshape(k * cin, cout).astype(compute_dtype)
+        out = jnp.dot(col, w2, preferred_element_type=jnp.float32)
+        return out, (col, feats, weight, idx, found, idxT, foundT)
     out = _subm_conv_raw(feats, weight, SubmPlan(idx, found), compute_dtype,
                          triple)
-    return out, (feats, weight, idx, found, idxT, foundT)
+    return out, (None, feats, weight, idx, found, idxT, foundT)
 
 
-def _stride_hostT_bwd(compute_dtype, triple, res, d_out):
-    feats, weight, idx, found, idxT, foundT = res
+def _stride_hostT_bwd(compute_dtype, triple, store_col, res, d_out):
+    col, feats, weight, idx, found, idxT, foundT = res
     k, cin, cout = weight.shape
-    col = _gather(feats, SubmPlan(idx, found), compute_dtype, triple)
+    if col is None:
+        col = _gather(feats, SubmPlan(idx, found), compute_dtype, triple)
     dw = jnp.dot(col.T, d_out.astype(compute_dtype),
                  preferred_element_type=jnp.float32).reshape(k, cin, cout)
     colT = _gather(d_out, SubmPlan(idxT, foundT), compute_dtype, triple,

@@ -159,15 +159,18 @@ def test_stride_hostT_grad_matches_autodiff():
 
     gf_r, gw_r = jax.grad(f_raw, argnums=(0, 1))(feats, weight)
     for triple in (False, True):
-        def f_custom(f, w):
-            return jnp.vdot(sp.stride_conv_hostT(
-                jnp.float32, triple, f, w, idx, found, idxT, foundT), cot)
+        for store_col in (False, True):
+            def f_custom(f, w):
+                return jnp.vdot(sp.stride_conv_hostT(
+                    jnp.float32, triple, store_col, f, w,
+                    idx, found, idxT, foundT), cot)
 
-        gf_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, weight)
-        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
-                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
-        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
-                                   rtol=1e-4, atol=1e-4, err_msg=f"{triple}")
+            tag = f"triple={triple} store={store_col}"
+            gf_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, weight)
+            np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                                       rtol=1e-4, atol=1e-4, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                                       rtol=1e-4, atol=1e-4, err_msg=tag)
 
 
 def test_triple_gather_matches_standard():

@@ -168,3 +168,29 @@ def test_subm_conv_custom_vjp_matches_autodiff():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_subm_conv_store_col_grads_identical():
+    """store_col=True (im2col kept as a VJP residual) must be numerically
+    identical to the recompute-gather backward — same ops, same order."""
+    rng = np.random.default_rng(13)
+    shape = (5, 12, 16)
+    keys, feats = random_level(rng, shape, 120, 8, cap=160)
+    weight = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32))
+    plan = S.build_subm_plan(keys, shape)
+    cot = jnp.asarray(rng.normal(size=(160, 6)).astype(np.float32))
+    cot = cot * (np.asarray(keys) != S.INVALID_KEY)[:, None]
+
+    def make(store):
+        def f(f_, w_):
+            return jnp.vdot(
+                S.subm_conv(f_, w_, plan, store_col=store), cot)
+        return f
+
+    out_a = S.subm_conv(feats, weight, plan, store_col=False)
+    out_b = S.subm_conv(feats, weight, plan, store_col=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), atol=0)
+    gf_a, gw_a = jax.grad(make(False), argnums=(0, 1))(feats, weight)
+    gf_b, gw_b = jax.grad(make(True), argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_a), atol=0)
+    np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_a), atol=0)
