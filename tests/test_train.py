@@ -99,6 +99,34 @@ def test_checkpoint_rolling_window(tmp_path, setup):
     assert ckpt.latest_checkpoint(tmp_path).endswith("checkpoint_epoch_5.msgpack")
 
 
+def test_checkpoint_prunes_step_saves_before_epoch_saves(tmp_path, setup):
+    """Mid-epoch saves are crash-resilience artifacts: once a later
+    checkpoint exists they are superseded and must be pruned FIRST, so the
+    rolling window keeps end-of-epoch snapshots (the AP-curve series)."""
+    cfg, params, state, _anchors, _batch = setup
+    params, state = _copy(params), _copy(state)
+    tx = optax.sgd(1e-3)
+    o = tx.init(params)
+    p, s, oh = jax.device_get(params), jax.device_get(state), jax.device_get(o)
+    for e in range(4):
+        for b in (200, 400):          # mid-epoch step saves
+            ckpt.save(tmp_path, e, e * 10 + b // 100, p, s, oh,
+                      max_keep=6, batch_idx=b)
+        ckpt.save(tmp_path, e, e * 10 + 9, p, s, oh, max_keep=6)
+    names = sorted(x[1].split("/")[-1] for x in ckpt.list_checkpoints(tmp_path))
+    # all four epoch saves survive; no step files remain (each epoch is
+    # complete, so its step saves were superseded)
+    assert names == [f"checkpoint_epoch_{e}.msgpack" for e in range(4)]
+    # an in-progress epoch's LATEST step save is kept for resume
+    ckpt.save(tmp_path, 4, 48, p, s, oh, max_keep=6, batch_idx=200)
+    ckpt.save(tmp_path, 4, 50, p, s, oh, max_keep=6, batch_idx=400)
+    names = sorted(x[1].split("/")[-1] for x in ckpt.list_checkpoints(tmp_path))
+    assert "checkpoint_epoch_4_step_400.msgpack" in names
+    assert "checkpoint_epoch_4_step_200.msgpack" not in names
+    assert ckpt.latest_checkpoint(tmp_path).endswith(
+        "checkpoint_epoch_4_step_400.msgpack")
+
+
 def test_dp_mesh_train_step(setup):
     """8-device CPU mesh: DP step runs, loss finite, params stay replicated."""
     from sassd_tpu.parallel import mesh as mesh_lib
