@@ -79,11 +79,15 @@ class ModelConfig:
                                        # each kernel row into ONE wide
                                        # gathered row (3x fewer gather rows;
                                        # needs the key-sorted host plans)
-    store_im2col: bool = True          # keep each conv's forward im2col as
+    store_im2col: bool = False         # keep each conv's forward im2col as
                                        # a VJP residual so the backward dW
-                                       # needs no recompute gather (1 of 3
-                                       # train-step gathers per conv gone,
-                                       # identical numerics, more HBM)
+                                       # needs no recompute gather.
+                                       # Measured NEUTRAL on the v5e chip
+                                       # (58.9 vs 58.6 ms/step bs=1 — XLA
+                                       # hides the recompute gather), so the
+                                       # default avoids the extra HBM;
+                                       # identical numerics either way
+                                       # (tests/test_sparse.py)
 
 
 @dataclasses.dataclass(frozen=True)
