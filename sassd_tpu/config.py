@@ -79,6 +79,12 @@ class ModelConfig:
                                        # each kernel row into ONE wide
                                        # gathered row (3x fewer gather rows;
                                        # needs the key-sorted host plans)
+    packed_warp: bool = True           # PSWarp bilinear sampling fetches
+                                       # each 2x2 corner neighborhood with
+                                       # ONE width-4 gather (4x fewer
+                                       # gather rows; exact same numerics —
+                                       # ops/warp.py::
+                                       # bilinear_sample_per_part_packed)
     store_im2col: bool = False         # keep each conv's forward im2col as
                                        # a VJP residual so the backward dW
                                        # needs no recompute gather.

@@ -293,7 +293,7 @@ def forward_train(params, state, batch, anchors, cfg: SASSDConfig,
         window_size=cfg.model.window_size,
         grid_offsets=cfg.model.grid_offsets,
         featmap_stride=cfg.model.featmap_stride, train=True,
-        compute_dtype=_compute_dtype(cfg))
+        compute_dtype=_compute_dtype(cfg), packed=cfg.model.packed_warp)
     losses.update(pswarp.pswarp_loss(
         scores, ga.boxes, ga.valid, batch["gt_boxes"], batch["gt_valid"],
         pos_iou_thr=cfg.train.extra_pos_iou,
@@ -323,7 +323,7 @@ def forward_test(params, state, batch, anchors, cfg: SASSDConfig,
         window_size=cfg.model.window_size,
         grid_offsets=cfg.model.grid_offsets,
         featmap_stride=cfg.model.featmap_stride, train=False,
-        compute_dtype=_compute_dtype(cfg))
+        compute_dtype=_compute_dtype(cfg), packed=cfg.model.packed_warp)
     db, ds, dl, dv = pswarp.rescore_and_nms(
         ga.boxes, scores, ga.labels, ga.valid,
         score_thr=cfg.test.score_thr, nms_iou_thr=cfg.test.nms_iou_thr,

@@ -38,7 +38,8 @@ def pswarp_apply(params, state, conv6, boxes, valid, *,
                  grid_offsets: Tuple[float, float] = (0.0, 40.0),
                  featmap_stride: float = 0.4,
                  train: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 packed: bool = True):
     """Score candidate boxes.
 
     Args:
@@ -54,10 +55,13 @@ def pswarp_apply(params, state, conv6, boxes, valid, *,
 
     scale = 1.0 / featmap_stride
 
+    sample = (warp.bilinear_sample_per_part_packed if packed
+              else warp.bilinear_sample_per_part)
+
     def score_one(img, bx):
         xs, ys = warp.gen_sample_grid(
             bx[:, [0, 1, 3, 4, 6]], window_size, grid_offsets, scale)
-        samples = warp.bilinear_sample_per_part(img, xs, ys)   # [K_parts, K]
+        samples = sample(img, xs, ys)                          # [K_parts, K]
         return jnp.mean(samples, axis=0)
 
     scores = jax.vmap(score_one)(x, boxes)

@@ -57,28 +57,41 @@ def mh_run(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("mh_kitti")
     synthetic.write_synthetic_kitti(root, n_train=4, n_val=2, seed=0)
-    out = tmp_path_factory.mktemp("mh_out")
-    port = _free_port()
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
     worker = os.path.join(TESTS_DIR, "_mh_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port),
-         str(root), str(out / f"w{pid}")],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            stdout, _ = p.communicate()
-            pytest.fail(f"worker timed out:\n{stdout[-4000:]}")
-        outs.append(stdout)
-    for p, stdout in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+
+    # Gloo's cross-process context handshake has a fixed 30 s key-exchange
+    # deadline baked into jaxlib; on a loaded single-core machine the two
+    # workers can be scheduled >30 s apart and the rendezvous times out.
+    # That is starvation, not a product bug — retry with a fresh port.
+    for attempt in range(3):
+        out = tmp_path_factory.mktemp(f"mh_out{attempt}")
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port),
+             str(root), str(out / f"w{pid}")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+            for pid in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                stdout, _ = p.communicate()
+                pytest.fail(f"worker timed out:\n{stdout[-4000:]}")
+            outs.append(stdout)
+        if all(p.returncode == 0 for p in procs):
+            return root, out, outs
+        starved = any("DEADLINE_EXCEEDED" in o or
+                      "Gloo context initialization failed" in o
+                      for o in outs)
+        if not starved or attempt == 2:
+            bad = next(o for p, o in zip(procs, outs) if p.returncode != 0)
+            assert False, f"worker failed:\n{bad[-4000:]}"
     return root, out, outs
 
 

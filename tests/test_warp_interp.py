@@ -34,6 +34,29 @@ def test_bilinear_matches_grid_sample():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_bilinear_packed_exact_parity():
+    """The width-4 packed-corner gather must reproduce the reference
+    formulation bit-exactly, including every clip/edge case (coordinates
+    straddling -1/0, w-1/w, far out of range, integer-exact)."""
+    rng = np.random.default_rng(3)
+    h, w, k, n = 17, 23, 28, 400
+    img = rng.normal(size=(h, w, k)).astype(np.float32)
+    xs = rng.uniform(-4, w + 4, (k, n)).astype(np.float32)
+    ys = rng.uniform(-4, h + 4, (k, n)).astype(np.float32)
+    # force edge-straddling and integer-exact columns
+    xs[:, :50] = rng.uniform(-1.0, 1.0, (k, 50))
+    ys[:, :50] = rng.uniform(-1.0, 1.0, (k, 50))
+    xs[:, 50:100] = rng.uniform(w - 2, w + 1, (k, 50))
+    ys[:, 50:100] = rng.uniform(h - 2, h + 1, (k, 50))
+    xs[:, 100:120] = np.round(xs[:, 100:120])
+    ys[:, 100:120] = np.round(ys[:, 100:120])
+    ref = np.asarray(warp.bilinear_sample_per_part(
+        jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys)))
+    got = np.asarray(warp.bilinear_sample_per_part_packed(
+        jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys)))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_gen_sample_grid_formula():
     """Lattice points must match the reference generator (ssd_rotate_head.py
     :374-398) transcribed here in numpy."""
