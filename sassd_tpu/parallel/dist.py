@@ -48,6 +48,15 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs.update(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        # Force the collective-backend context rendezvous NOW, while every
+        # process sits at the same startup point. Gloo's context handshake
+        # has a fixed ~30 s key-exchange deadline baked into jaxlib; if the
+        # first collective instead fires deep inside training (after
+        # skewed compile times on loaded hosts) the rendezvous can miss it.
+        # The context is cached, so later collectives never re-rendezvous.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("sassd_dist_init")
 
 
 def process_count() -> int:
