@@ -152,6 +152,8 @@ def main():
         "value": round(device_sps, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(device_sps / 25.0, 4),
+        "vs_baseline_device_graph": round(device_sps / 25.0, 4),
+        "vs_baseline_sustained_this_vm": round(sustained_sps / 25.0, 4),
         "sustained_pipelined_scans_per_sec": round(sustained_sps, 3),
         "host_ms_per_scan": round(host_ms, 2),
         "pipeline": "1 producer thread, queue depth 2, incl. h2d transfer",

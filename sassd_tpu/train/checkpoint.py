@@ -61,15 +61,21 @@ def save(work_dir: str, epoch: int, step: int, params, state, opt_state,
     ckpts = sorted(list_checkpoints(work_dir), key=lambda p: _sort_key(p[1]))
     # mid-epoch (crash-resilience) saves are superseded the moment any later
     # checkpoint exists: drop them first so the rolling max_keep window holds
-    # end-of-epoch snapshots (the AP-curve artifacts), not step files
+    # end-of-epoch snapshots (the AP-curve artifacts), not step files.
+    # The file just written is never stale, even when the work_dir already
+    # holds chronologically later checkpoints (e.g. --resume_from an older
+    # checkpoint in the same dir): deleting it would make this save a no-op
+    # and return a path to a nonexistent file.
     latest = _sort_key(ckpts[-1][1])
     stale = [(e, p) for e, p in ckpts
-             if _sort_key(p)[1] != 1 << 30 and _sort_key(p) != latest]
+             if _sort_key(p)[1] != 1 << 30 and _sort_key(p) != latest
+             and p != str(path)]
     for e, p in stale:
         os.remove(p)
     ckpts = [c for c in ckpts if c not in stale]
     for e, p in ckpts[:-max_keep]:
-        os.remove(p)
+        if p != str(path):
+            os.remove(p)
     return str(path)
 
 
