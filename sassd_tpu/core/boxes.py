@@ -184,17 +184,22 @@ def corners_bev(boxes):
 def corners_3d(boxes3d):
     """Eight 3D corners of [..., 7] boxes (z = bottom). Returns [..., 8, 3].
 
-    Corner order: bottom face CCW then top face CCW (matching
-    :func:`corners_bev` order within each face).
+    Corner order matches the reference's `center_to_corner_box3d` with lidar
+    origin [0.5, 0.5, 0] (geometry.py:289-320,380-402): x-major enumeration
+    reindexed by [0,1,3,2,4,5,7,6], i.e. in (sign_x, sign_y, z-level) terms
+      0:(-,-,bot) 1:(-,-,top) 2:(-,+,top) 3:(-,+,bot)
+      4:(+,-,bot) 5:(+,-,top) 6:(+,+,top) 7:(+,+,bot)
+    so corner offsets (the BoxCornerCoder code) are bit-exact comparable.
     """
-    bev = corners_bev(boxes3d[..., [0, 1, 3, 4, 6]])          # [..., 4, 2]
-    z0 = boxes3d[..., 2:3]
-    z1 = boxes3d[..., 2:3] + boxes3d[..., 5:6]
-    zb = jnp.broadcast_to(z0[..., None], bev.shape[:-1] + (1,))
-    zt = jnp.broadcast_to(z1[..., None], bev.shape[:-1] + (1,))
-    bottom = jnp.concatenate([bev, zb], axis=-1)
-    top = jnp.concatenate([bev, zt], axis=-1)
-    return jnp.concatenate([bottom, top], axis=-2)
+    x, y, z, w, l, h, r = (boxes3d[..., i] for i in range(7))
+    half = jnp.asarray(0.5, boxes3d.dtype)
+    sx = jnp.stack([-w, -w, -w, -w, w, w, w, w], axis=-1) * half
+    sy = jnp.stack([-l, -l, l, l, -l, -l, l, l], axis=-1) * half
+    sz = jnp.stack([z, z + h, z + h, z, z, z + h, z + h, z], axis=-1)
+    c, s = jnp.cos(r)[..., None], jnp.sin(r)[..., None]
+    cx = sx * c + sy * s + x[..., None]
+    cy = -sx * s + sy * c + y[..., None]
+    return jnp.stack([cx, cy, sz], axis=-1)
 
 
 def corner_box_encode(boxes3d, anchors):
@@ -222,14 +227,16 @@ def corner_box_decode(encodings, anchors):
     """
     corners = corners_3d(anchors) + encodings.reshape(
         encodings.shape[:-1] + (8, 3))
-    bottom, top = corners[..., :4, :], corners[..., 4:, :]
+    bot_idx, top_idx = jnp.array([0, 3, 4, 7]), jnp.array([1, 2, 5, 6])
+    bottom = jnp.take(corners, bot_idx, axis=-2)
+    top = jnp.take(corners, top_idx, axis=-2)
     xy = jnp.mean(corners[..., :2], axis=-2)
     z = jnp.mean(bottom[..., 2], axis=-1)
     h = jnp.mean(top[..., 2], axis=-1) - z
-    # bottom corners are CCW from local (+w/2,+l/2); edge c0-c1 spans the
-    # local x axis (length w), edge c0-c3 the local y axis (length l)
-    e_w = bottom[..., 0, :2] - bottom[..., 1, :2]
-    e_l = bottom[..., 0, :2] - bottom[..., 3, :2]
+    # corner 4 - corner 0 spans the local +x axis (length w); corner 3 -
+    # corner 0 the local +y axis (length l) — see corners_3d ordering
+    e_w = corners[..., 4, :2] - corners[..., 0, :2]
+    e_l = corners[..., 3, :2] - corners[..., 0, :2]
     w = jnp.linalg.norm(e_w, axis=-1)
     l = jnp.linalg.norm(e_l, axis=-1)
     # clockwise-yaw convention: global e_w = (w cos r, -w sin r)

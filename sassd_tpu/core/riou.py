@@ -317,8 +317,10 @@ def rotate_overlap_bev_np(boxes1, boxes2, use_native: bool = True):
 def rotate_iou_eval_np(boxes1, boxes2, criterion: int = -1):
     """Numpy pairwise rotated IoU with eval 'criterion' variants.
 
-    criterion=-1: IoU; 0: inter/area1 (IoF w.r.t. boxes1); 1: inter/area2.
-    Mirrors /root/reference/mmdet/core/post_processing/rotate_nms_gpu.py:384-420.
+    criterion=-1: IoU; 0: inter/area1 (IoF w.r.t. boxes1); 1: inter/area2;
+    2 (or any other value): the raw intersection area, as used by
+    RotateIou3dSimilarity (region_similarity.py:70-74).
+    Mirrors /root/reference/mmdet/core/post_processing/rotate_nms_gpu.py:537-549.
     """
     boxes1 = np.asarray(boxes1, np.float64)
     boxes2 = np.asarray(boxes2, np.float64)
@@ -334,5 +336,5 @@ def rotate_iou_eval_np(boxes1, boxes2, criterion: int = -1):
     elif criterion == 1:
         denom = np.maximum(a2, 1e-9)
     else:
-        raise ValueError(f"bad criterion {criterion}")
+        denom = np.ones_like(a1 + a2)
     return (inter / denom).astype(np.float32)

@@ -438,7 +438,10 @@ def stride_conv(in_keys: jnp.ndarray, feats: jnp.ndarray, weight: jnp.ndarray,
     """
     out_keys = downsample_keys(in_keys, in_shape, out_cap)
     plan = build_stride_plan(in_keys, out_keys, in_shape)
-    out = subm_conv(feats, weight, plan, compute_dtype)
+    # symmetric=False: the symmetric-gather VJP is only valid when input and
+    # output active sets coincide; a stride plan's do not (caught by the
+    # torch-dense gradient oracle in tests/test_reference_oracle.py)
+    out = subm_conv(feats, weight, plan, compute_dtype, symmetric=False)
     out = jnp.where(valid_mask(out_keys)[:, None], out, 0.0)
     return out_keys, out, out_shape_stride2(in_shape)
 
