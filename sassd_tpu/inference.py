@@ -74,17 +74,24 @@ def _dedup_by_id(annos: List[Dict], ids: List[int]):
 
 def evaluate(cfg: SASSDConfig, dataset, params, state, label_dir,
              batch_size: int = 1, logger=None,
-             exchange_dir: Optional[str] = None):
+             exchange_dir: Optional[str] = None,
+             precomputed=None):
     """Full eval: inference + official KITTI AP. Returns (results, text).
 
     Under a multi-process job the sample set is rank-strided; per-host annos
     are gathered to the primary (which alone computes AP and returns it;
     other processes return (None, "")).
+
+    `precomputed`: optional (dt_annos, ids) from an earlier run_inference
+    over this rank's shard — callers that already ran inference (e.g.
+    tools/test.py --out writing KITTI result files) reuse it instead of
+    paying a second device pass over the val split.
     """
     from sassd_tpu.parallel import dist
     n, pid = dist.process_count(), dist.process_index()
-    dt_annos, ids = run_inference(cfg, dataset, params, state, batch_size,
-                                  logger, num_shards=n, shard_id=pid)
+    dt_annos, ids = (precomputed if precomputed is not None else
+                     run_inference(cfg, dataset, params, state, batch_size,
+                                   logger, num_shards=n, shard_id=pid))
     if n > 1:
         parts = dist.gather_objects(
             (dt_annos, ids), exchange_dir or cfg.work_dir, tag="eval")

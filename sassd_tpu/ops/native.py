@@ -8,6 +8,7 @@ evaluator's rotated-overlap matrices.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -16,7 +17,30 @@ from typing import Optional
 import numpy as np
 
 _LIB_PATH = Path(__file__).resolve().parents[2] / "csrc" / "libsassd_host.so"
+_SRC_PATH = _LIB_PATH.parent / "sassd_host.cpp"
+_HASH_PATH = _LIB_PATH.parent / ".libsassd_host.srchash"
 _lib: Optional[ctypes.CDLL] = None
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    h.update(_SRC_PATH.read_bytes())
+    h.update((_LIB_PATH.parent / "Makefile").read_bytes())
+    return h.hexdigest()
+
+
+def _is_stale() -> bool:
+    """True when the .so does not correspond to the current sources.
+
+    The binary is NOT committed; build() records the source hash in a
+    sidecar file, so an on-disk library left over from an older source
+    revision is rebuilt instead of silently loaded."""
+    if not _LIB_PATH.exists():
+        return True
+    try:
+        return _HASH_PATH.read_text().strip() != _source_hash()
+    except OSError:
+        return True
 
 
 def build(verbose: bool = False) -> bool:
@@ -26,7 +50,10 @@ def build(verbose: bool = False) -> bool:
                              capture_output=True, text=True, timeout=120)
         if verbose:
             print(out.stdout, out.stderr)
-        return out.returncode == 0 and _LIB_PATH.exists()
+        ok = out.returncode == 0 and _LIB_PATH.exists()
+        if ok:
+            _HASH_PATH.write_text(_source_hash())
+        return ok
     except Exception:
         return False
 
@@ -35,7 +62,7 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and os.environ.get("SASSD_BUILD_NATIVE", "1") == "1":
+    if _is_stale() and os.environ.get("SASSD_BUILD_NATIVE", "1") == "1":
         build()
     if not _LIB_PATH.exists():
         return None

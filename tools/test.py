@@ -44,19 +44,27 @@ def main():
         payload = ser.msgpack_restore(f.read())
     state = ser.from_state_dict(state, payload["state"])
 
+    precomputed = None
     if args.out:
+        # ONE inference pass: write KITTI result files from this rank's
+        # shard, then hand the same annos to evaluate() for the AP tables
         from sassd_tpu.eval.results import anno_to_result_lines
+        from sassd_tpu.parallel import dist
         annos, ids = run_inference(cfg, dataset, params, state,
-                                   args.batch_size, logger)
+                                   args.batch_size, logger,
+                                   num_shards=dist.process_count(),
+                                   shard_id=dist.process_index())
         os.makedirs(args.out, exist_ok=True)
         for anno, sid in zip(annos, ids):
             with open(os.path.join(args.out, f"{sid:06d}.txt"), "w") as f:
                 f.write("\n".join(anno_to_result_lines(anno)) + "\n")
         logger.info("wrote %d result files to %s", len(ids), args.out)
+        precomputed = (annos, ids)
 
     results, text = evaluate(cfg, dataset, params, state,
                              os.path.join(data_root, "label_2"),
-                             args.batch_size, logger)
+                             args.batch_size, logger,
+                             precomputed=precomputed)
     print(text)
 
 
