@@ -15,10 +15,10 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from import_reference_checkpoint import convert, check_against_config
-from sassd_tpu.config import car_config
+from sassd_tpu.config import car_config, multi_config
 
 
-def _rng_sd():
+def _rng_sd(num_class=1):
     r = np.random.RandomState(0)
 
     sd = {}
@@ -66,13 +66,15 @@ def _rng_sd():
     add("neck.point_cls.weight", 1, 64)
     add("neck.point_reg.weight", 3, 64)
 
-    # SSDRotateHead, num_class=1, num_anchor_per_loc=2
-    add("bbox_head.conv_cls.weight", 2, 256, 1, 1)
-    add("bbox_head.conv_cls.bias", 2)
-    add("bbox_head.conv_box.weight", 14, 256, 1, 1)
-    add("bbox_head.conv_box.bias", 14)
-    add("bbox_head.conv_dir_cls.weight", 4, 256, 1, 1)
-    add("bbox_head.conv_dir_cls.bias", 4)
+    # SSDRotateHead: num_anchor_per_loc = 2 * num_class
+    # (ssd_rotate_head.py:104,120-125): cls = npl*C, box = npl*7, dir = npl*2
+    npl = 2 * num_class
+    add("bbox_head.conv_cls.weight", npl * num_class, 256, 1, 1)
+    add("bbox_head.conv_cls.bias", npl * num_class)
+    add("bbox_head.conv_box.weight", npl * 7, 256, 1, 1)
+    add("bbox_head.conv_box.bias", npl * 7)
+    add("bbox_head.conv_dir_cls.weight", npl * 2, 256, 1, 1)
+    add("bbox_head.conv_dir_cls.bias", npl * 2)
 
     # PSWarpHead convs: Conv3x3 / BN / ReLU / Conv1x1, 28 parts
     add("extra_head.convs.0.weight", 28, 256, 3, 3)
@@ -88,6 +90,16 @@ def test_convert_matches_car_config_shapes():
     assert unused == []
     # validates structure + every leaf shape against init_params(car)
     check_against_config(params, state, car_config())
+
+
+def test_convert_matches_multi_config_shapes():
+    """Multi-class import: same mapping, bigger head channels (the layout
+    factorization is proven against the reference head's own forward in
+    test_reference_oracle.py::test_multiclass_head_layout_oracle)."""
+    sd = _rng_sd(num_class=3)
+    params, state, unused = convert(sd)
+    assert unused == []
+    check_against_config(params, state, multi_config())
 
 
 def test_axis_transposes():

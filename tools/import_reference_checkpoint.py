@@ -29,13 +29,18 @@ Name/axis mapping (reference module tree -> sassd_tpu param tree):
     ``running_mean/running_var`` -> state ``mean/var``;
     ``num_batches_tracked`` dropped.
 
-Only ``num_class=1`` checkpoints are convertible: for multi-class the
-reference head emits ONE sigmoid logit per class-slot anchor while this
-repo's head emits per-anchor per-class logits (a documented deviation;
-the reference's own multi-class ``view(N, num_class, -1, H, W)`` over
-``num_anchor_per_loc * box_code_size`` channels does not factorize —
-ssd_rotate_head.py:120-125,222 — so upstream multi checkpoints do not
-exist in that layout either).
+Multi-class checkpoints convert with the SAME head mapping as num_class=1.
+Working the reference's ``view(N, num_class, -1, H, W)`` + permute algebra
+(ssd_rotate_head.py:218-235) through ``create_loss``'s
+``view(batch, -1, d)`` regrouping shows its conv channel layout is
+``[class][anchor(2)][d]`` per location and its prediction-row order is
+``(class, y, x, anchor)`` — exactly this repo's ``_flatten`` layout — so
+the plain ``[Co,Ci,1,1] -> [1,1,Ci,Co]`` transpose is the whole mapping.
+(Round 2 documented this as non-factorizing; that was a misreading, now
+refuted by executing the reference head itself:
+tests/test_reference_oracle.py::test_multiclass_head_layout_oracle.) The
+PSWarp head is class-agnostic in the reference's multi config too
+(configs/multi_cfg.py:26-33, num_class=1), so it is unchanged.
 """
 from __future__ import annotations
 
@@ -155,11 +160,6 @@ def check_against_config(params, state, cfg):
     import jax
     from sassd_tpu.models import detector
 
-    if cfg.model.num_class != 1:
-        raise SystemExit(
-            "only num_class=1 reference checkpoints are convertible — the "
-            "reference multi-class head layout does not factorize (see "
-            "module docstring)")
     ref_p, ref_s = detector.detector_init(jax.random.PRNGKey(0), cfg)
     for name, ours, init in (("params", params, ref_p),
                              ("state", state, ref_s)):
