@@ -79,6 +79,13 @@ class ModelConfig:
                                        # each kernel row into ONE wide
                                        # gathered row (3x fewer gather rows;
                                        # needs the key-sorted host plans)
+    flat_batch: bool = True            # run every sparse conv over ONE
+                                       # concatenated level array with
+                                       # batch-offset plan indices (the
+                                       # reference's merge_second_batch
+                                       # adapted to sorted keys) instead of
+                                       # vmapping per sample — identical
+                                       # numerics, no batched gathers
     packed_warp: bool = True           # PSWarp bilinear sampling fetches
                                        # each 2x2 corner neighborhood with
                                        # ONE width-4 gather (4x fewer

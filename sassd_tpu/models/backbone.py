@@ -115,15 +115,18 @@ def vxnet_init(key, num_input_features: int = 4):
 
 
 def _subm_block(p, s, feats, plan, mask, train, cd, triple=False,
-                store_col=False):
+                store_col=False, flat=True):
     """n x (subm conv + masked BN + ReLU) sharing one gather plan."""
     new_s = {}
     n = sum(1 for k in p if k.startswith("conv"))
     for i in range(n):
-        feats = jax.vmap(lambda f, pl: sp.subm_conv(f, p[f"conv{i}"]["w"], pl,
-                                                    cd, triple=triple,
-                                                    store_col=store_col)
-                         )(feats, plan)
+        if flat:
+            feats = sp.subm_conv_batched(feats, p[f"conv{i}"]["w"], plan, cd,
+                                         triple=triple, store_col=store_col)
+        else:
+            feats = jax.vmap(lambda f, pl: sp.subm_conv(
+                f, p[f"conv{i}"]["w"], pl, cd, triple=triple,
+                store_col=store_col))(feats, plan)
         feats, new_s[f"bn{i}"] = L.batch_norm(
             p[f"bn{i}"], s[f"bn{i}"], feats, train=train, mask=mask)
         feats = L.relu(feats)
@@ -140,7 +143,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 train: bool, compute_dtype=jnp.float32,
                 dense_index: bool = True, host_plans=None,
                 dense_tail: bool = True, triple_gather: bool = True,
-                store_im2col: bool = True):
+                store_im2col: bool = True, flat_batch: bool = True):
     """Run the sparse ladder.
 
     Args:
@@ -155,6 +158,10 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         coords1..3 [B,capL,3]. When given, no active-set or neighbor work
         happens on device at all — the spconv-rulebook division of labor,
         with the host rulebook pipelined by the data loader.
+      flat_batch: run every sparse conv over ONE concatenated level array
+        with batch-offset plan indices (the reference's merge_second_batch
+        adapted to sorted keys; see ops/sparse.py flat-batch section)
+        instead of vmapping per sample — same numerics, no batched gathers.
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
        middles: list of (keys, feats, shape) per level, new_state)
@@ -170,6 +177,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     # keep forward im2col matrices for the backward dW only when training
     # (inference never differentiates; saves the residual memory)
     sc = store_im2col and train
+    fb = flat_batch
 
     def index_map(keys, shape):
         if host_plans is not None or not dense_index:
@@ -189,7 +197,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     plan0 = subm_plan(0, keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
         params["conv0"], state["conv0"], feats0, plan0, m0, train, cd,
-        triple=tg, store_col=sc)
+        triple=tg, store_col=sc, flat=fb)
 
     def down(level, pfx, keys, x, shape, cap, mask, imap):
         out_shape = sp.out_shape_stride2(shape)
@@ -199,9 +207,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                                 )(host_plans[f"coords{level}"])
             plan = _host_plan(host_plans[f"stride{level}"])
             planT = _host_plan(host_plans[f"strideT{level}"])
-            y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
-                cd, tg, sc, f, params[pfx]["conv0"]["w"], i, fo, iT, foT))(
-                x, plan.idx, plan.found, planT.idx, planT.found)
+            if fb:
+                y = sp.stride_conv_hostT_batched(
+                    cd, tg, sc, x, params[pfx]["conv0"]["w"], plan, planT)
+            else:
+                y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
+                    cd, tg, sc, f, params[pfx]["conv0"]["w"], i, fo, iT, foT)
+                    )(x, plan.idx, plan.found, planT.idx, planT.found)
             omask = out_keys != sp.INVALID_KEY
             y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
                                  train=train, mask=omask)
@@ -222,9 +234,14 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             else:
                 plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
                     ik, ok, shape, index_map=im))(keys, out_keys, imap)
-        y = jax.vmap(lambda f, pl: sp.subm_conv(
-            f, params[pfx]["conv0"]["w"], pl, cd, symmetric=False,
-            triple=tg and host_plans is not None))(x, plan)
+        if fb:
+            y = sp.subm_conv_batched(
+                x, params[pfx]["conv0"]["w"], plan, cd, symmetric=False,
+                triple=tg and host_plans is not None)
+        else:
+            y = jax.vmap(lambda f, pl: sp.subm_conv(
+                f, params[pfx]["conv0"]["w"], pl, cd, symmetric=False,
+                triple=tg and host_plans is not None))(x, plan)
         omask = out_keys != sp.INVALID_KEY
         y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
                              train=train, mask=omask)
@@ -238,7 +255,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     plan1 = subm_plan(1, keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
         params["conv1"], state["conv1"], x, plan1, m1, train, cd, triple=tg,
-        store_col=sc)
+        store_col=sc, flat=fb)
     mid0 = (keys1, x, shape1)
 
     keys2, x, shape2, m2 = down(2, "down1", keys1, x, shape1, level_caps[2],
@@ -248,7 +265,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
         params["conv2"], state["conv2"], x, plan2, m2, train, cd, triple=tg,
-        store_col=sc)
+        store_col=sc, flat=fb)
     mid1 = (keys2, x, shape2)
 
     keys3, x, shape3, m3 = down(3, "down2", keys2, x, shape2, level_caps[3],
@@ -333,7 +350,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
         params["conv3"], state["conv3"], x, plan3, m3, train, cd, triple=tg,
-        store_col=sc)
+        store_col=sc, flat=fb)
     mid2 = (keys3, x, shape3)
 
     # extra_conv: 1x1x1 SparseConv3d + BN + ReLU (cmn.py:208-212)

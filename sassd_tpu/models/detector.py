@@ -144,7 +144,8 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         train=train, compute_dtype=cd, dense_index=cfg.model.dense_index,
         host_plans=host_plans, dense_tail=cfg.model.dense_tail,
         triple_gather=cfg.model.triple_gather,
-        store_im2col=cfg.model.store_im2col)
+        store_im2col=cfg.model.store_im2col,
+        flat_batch=cfg.model.flat_batch)
 
     if out_keys is None:                     # dense-tail backbone output
         b, d, h, w, c = out_feats.shape

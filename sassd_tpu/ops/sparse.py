@@ -514,3 +514,67 @@ def _stride_hostT_bwd(compute_dtype, triple, store_col, res, d_out):
 
 
 stride_conv_hostT.defvjp(_stride_hostT_fwd, _stride_hostT_bwd)
+
+
+# ---------------------------------------------------------------------------
+# flat-batch execution: one level array for the whole batch
+# ---------------------------------------------------------------------------
+# The reference batches by concatenating each sample's voxel tensor with a
+# batch-index coordinate column (merge_second_batch,
+# /root/reference/mmdet/models/detectors/single_stage.py:52-73) so every
+# conv runs once over the union of actives. The TPU adaptation: concatenate
+# the per-sample fixed-capacity segments along rows and add b*cap to every
+# plan index. Row offsets preserve each segment's internal sort order, so
+# the packed triple gathers still apply (adjacency is a within-sample
+# property; cross-sample rows are never marked `found` because plans are
+# built per sample). vs. vmap: the gathers lose their batch dimension
+# (ONE flat gather instead of a batched gather) and each GEMM runs once at
+# B x the rows — the batch-scaling execution mode.
+
+def flatten_plan(plan: SubmPlan, rows_in: int) -> SubmPlan:
+    """[B, K, M] batched plan -> [K, B*M] flat plan over concatenated rows.
+
+    rows_in: per-sample row count of the level the indices point INTO
+    (equals M for subm plans; the input level's cap for stride plans).
+    """
+    b, k, m = plan.idx.shape
+    off = (jnp.arange(b, dtype=plan.idx.dtype) * rows_in)[:, None, None]
+    idx = jnp.transpose(plan.idx + off, (1, 0, 2)).reshape(k, b * m)
+    found = jnp.transpose(plan.found, (1, 0, 2)).reshape(k, b * m)
+    return SubmPlan(idx, found)
+
+
+def subm_conv_batched(feats: jnp.ndarray, weight: jnp.ndarray,
+                      plan: SubmPlan, compute_dtype=jnp.float32,
+                      symmetric: bool = True, triple: bool = False,
+                      store_col: bool = False) -> jnp.ndarray:
+    """subm_conv over a whole batch as ONE flat gather-GEMM.
+
+    feats: [B, M_in, C]; plan: batched ([B, K, M_out]) with indices into
+    the input rows (M_out == M_in for subm plans; pass symmetric=False
+    with a stride plan). Returns [B, M_out, Cout].
+    """
+    b, m_in, c = feats.shape
+    m_out = plan.idx.shape[-1]
+    fp = flatten_plan(plan, m_in)
+    out = subm_conv(feats.reshape(b * m_in, c), weight, fp, compute_dtype,
+                    symmetric=symmetric, triple=triple, store_col=store_col)
+    return out.reshape(b, m_out, -1)
+
+
+def stride_conv_hostT_batched(compute_dtype, triple, store_col,
+                              feats: jnp.ndarray, weight: jnp.ndarray,
+                              plan: SubmPlan, planT: SubmPlan) -> jnp.ndarray:
+    """stride_conv_hostT over a whole batch as ONE flat gather-GEMM.
+
+    feats: [B, M_in, C]; plan: [B, K, M_out] into input rows; planT:
+    [B, K, M_in] into output rows. Returns [B, M_out, Cout].
+    """
+    b, m_in, c = feats.shape
+    m_out = plan.idx.shape[-1]
+    fp = flatten_plan(plan, m_in)
+    fpT = flatten_plan(planT, m_out)
+    out = stride_conv_hostT(compute_dtype, triple, store_col,
+                            feats.reshape(b * m_in, c), weight,
+                            fp.idx, fp.found, fpT.idx, fpT.found)
+    return out.reshape(b, m_out, -1)

@@ -78,3 +78,41 @@ def test_train_eval_consistency(setup):
     dets2 = detector.forward_test(params, state, batch, anchors, cfg)
     np.testing.assert_allclose(np.asarray(dets1["boxes"]),
                                np.asarray(dets2["boxes"]), atol=1e-5)
+
+
+def test_flat_batch_matches_vmap_detector(setup):
+    """Full detector (host plans, triple gathers, hostT stride convs) with
+    flat_batch on vs off: identical detections and train losses at bs=2."""
+    import dataclasses
+    cfg, params, state, anchors, _ = setup
+    cfg_v = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, flat_batch=False))
+    batch = {k: jnp.asarray(v) for k, v in
+             random_batch(cfg, np.random.default_rng(5),
+                          batch_size=2).items()}
+
+    d_f = detector.forward_test(params, state, batch, anchors, cfg)
+    d_v = detector.forward_test(params, state, batch, anchors, cfg_v)
+    np.testing.assert_allclose(np.asarray(d_f["boxes"]),
+                               np.asarray(d_v["boxes"]), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(d_f["valid"]),
+                                  np.asarray(d_v["valid"]))
+
+    l_f, _ = detector.forward_train(params, state, batch, anchors, cfg)
+    l_v, _ = detector.forward_train(params, state, batch, anchors, cfg_v)
+    for k in l_f:
+        np.testing.assert_allclose(float(l_f[k]), float(l_v[k]), rtol=2e-4,
+                                   err_msg=k)
+
+    def loss(c):
+        def f(p):
+            losses, _ = detector.forward_train(p, state, batch, anchors, c)
+            return sum(losses.values())
+        return f
+
+    g_f = jax.grad(loss(cfg))(params)
+    g_v = jax.grad(loss(cfg_v))(params)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    flat_v = jax.tree_util.tree_leaves(g_v)
+    for a, b in zip(flat_f, flat_v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)

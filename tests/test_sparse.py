@@ -194,3 +194,69 @@ def test_subm_conv_store_col_grads_identical():
     gf_b, gw_b = jax.grad(make(True), argnums=(0, 1))(feats, weight)
     np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_a), atol=0)
     np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_a), atol=0)
+
+
+def test_flat_batch_equals_vmap_subm():
+    """subm_conv_batched (one flat gather-GEMM for the whole batch) must
+    equal the vmapped per-sample path, forward and gradients."""
+    rng = np.random.default_rng(21)
+    shape = (5, 12, 16)
+    b, cap, cin, cout = 3, 160, 8, 6
+    keys, feats, plans = [], [], []
+    for i in range(b):
+        k, f = random_level(rng, shape, 100 + 10 * i, cin, cap=cap)
+        keys.append(k)
+        feats.append(f)
+        plans.append(S.build_subm_plan(k, shape))
+    feats = jnp.stack(feats)
+    plan = S.SubmPlan(jnp.stack([p.idx for p in plans]),
+                      jnp.stack([p.found for p in plans]))
+    weight = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, cap, cout)).astype(np.float32))
+
+    def loss_flat(f, w):
+        return jnp.vdot(S.subm_conv_batched(f, w, plan), cot)
+
+    def loss_vmap(f, w):
+        return jnp.vdot(jax.vmap(
+            lambda ff, i, fo: S.subm_conv(ff, w, S.SubmPlan(i, fo)))(
+                f, plan.idx, plan.found), cot)
+
+    out_f = S.subm_conv_batched(feats, weight, plan)
+    out_v = jax.vmap(lambda ff, i, fo: S.subm_conv(
+        ff, weight, S.SubmPlan(i, fo)))(feats, plan.idx, plan.found)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_v),
+                               atol=1e-5)
+    gf_f, gw_f = jax.grad(loss_flat, argnums=(0, 1))(feats, weight)
+    gf_v, gw_v = jax.grad(loss_vmap, argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_v), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_v), atol=1e-4)
+
+
+def test_flat_batch_equals_vmap_stride():
+    """Flat-batch stride conv (symmetric=False) vs vmapped per-sample."""
+    rng = np.random.default_rng(22)
+    shape = (6, 12, 16)
+    b, cap, out_cap, cin, cout = 2, 128, 256, 4, 5
+    keys, feats = [], []
+    plan_i, plan_f, out_keys = [], [], []
+    for i in range(b):
+        k, f = random_level(rng, shape, 90 + 10 * i, cin, cap=cap)
+        ok = S.downsample_keys(k, shape, out_cap)
+        pl = S.build_stride_plan(k, ok, shape)
+        keys.append(k)
+        feats.append(f)
+        out_keys.append(ok)
+        plan_i.append(pl.idx)
+        plan_f.append(pl.found)
+    feats = jnp.stack(feats)
+    plan = S.SubmPlan(jnp.stack(plan_i), jnp.stack(plan_f))
+    weight = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+
+    out_f = S.subm_conv_batched(feats, weight, plan, symmetric=False)
+    out_v = jax.vmap(lambda ff, i, fo: S.subm_conv(
+        ff, weight, S.SubmPlan(i, fo), symmetric=False))(
+        feats, plan.idx, plan.found)
+    assert out_f.shape == (b, out_cap, cout)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_v),
+                               atol=1e-5)

@@ -19,6 +19,11 @@ Variants (select with --variants, comma-separated; default all):
                 (index-order, measurement only — quantifies the sort cost)
   bs4           default graph at batch_size=4 (batch-scaling diagnosis)
 
+--batch_size N runs EVERY selected variant at batch size N (scans are
+concatenated into [N, ...] batches), so the bs>1 cliff can be decomposed
+stage by stage: e.g. --variants full,nms_off,pswarp_off,ga_notopk
+--batch_size 4.
+
 The pswarp_off/nms_off/ga_notopk variants monkeypatch module functions to
 carve a stage out of the graph while keeping shapes and downstream
 workload comparable; they are measurement instruments, not modes.
@@ -67,6 +72,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--variants", default="all")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help="run every variant at this batch size")
     args = ap.parse_args()
     want = None if args.variants == "all" else set(args.variants.split(","))
 
@@ -84,6 +91,14 @@ def main():
     cfg = car_config()
     staged, anchors = build_inputs(cfg)
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+
+    if args.batch_size > 1:
+        n = args.batch_size
+        staged = [{k: jnp.concatenate([staged[j][k] for j in
+                                       range(i, i + n)], 0)
+                   for k in staged[0]}
+                  for i in range(0, len(staged) - n + 1, n)]
+        args.iters = max(8, args.iters // n)
 
     def measure(tag, c, batches, iters=None):
         if want is not None and tag not in want:
@@ -164,7 +179,7 @@ def main():
     measure("ga_notopk", cfg, staged)
     jax.lax.top_k = orig_topk
 
-    if want is None or "bs4" in want:
+    if (want is None or "bs4" in want) and args.batch_size == 1:
         b4 = [{k: jnp.concatenate([staged[j][k] for j in range(i, i + 4)], 0)
                for k in staged[0]} for i in range(0, 8, 4)]
         measure("bs4", cfg, b4, iters=16)
