@@ -119,6 +119,35 @@ def main():
         host_work(s)
     host_ms = (time.perf_counter() - t0) / n_scans * 1000.0
 
+    # ---- (b2) decomposition legs ----------------------------------------
+    # consumer leg alone: pre-packed HOST batches, each dispatch pays h2d +
+    # device compute, no producer thread. sustained ~= max(producer, consumer)
+    # when overlap works; consumer >> parts means the transfer/dispatch path
+    # itself is the bottleneck (tunnel RPC serialization).
+    prepacked = [pack_batch(host_work(s), layout) for s in scenes]
+    jax.block_until_ready(step_packed(params, state, prepacked[0]))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(16):
+        out = step_packed(params, state, prepacked[i % n_scans])
+    jax.block_until_ready(out)
+    consumer_ms = (time.perf_counter() - t0) / 16 * 1000.0
+
+    # producer leg alone: host_work + pack through the queue, zero-cost sink
+    qp: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def produce_only():
+        for i in range(16):
+            qp.put(pack_batch(host_work(scenes[i % n_scans]), layout))
+        qp.put(None)
+
+    tp = threading.Thread(target=produce_only, daemon=True)
+    t0 = time.perf_counter()
+    tp.start()
+    while qp.get() is not None:
+        pass
+    producer_ms = (time.perf_counter() - t0) / 16 * 1000.0
+
     # ---- (c) sustained pipelined throughput -----------------------------
     # one producer thread (voxelize + anchors mask + rulebook) feeding a
     # depth-2 queue; consumer dispatches to the device. Device compute
@@ -156,6 +185,8 @@ def main():
         "vs_baseline_sustained_this_vm": round(sustained_sps / 25.0, 4),
         "sustained_pipelined_scans_per_sec": round(sustained_sps, 3),
         "host_ms_per_scan": round(host_ms, 2),
+        "producer_leg_ms_per_scan": round(producer_ms, 2),
+        "consumer_leg_ms_per_scan": round(consumer_ms, 2),
         "pipeline": "1 producer thread, queue depth 2, incl. h2d transfer",
         "note": "sustained includes ~40ms/scan network-tunnel h2d on this "
                 "build VM; see PERF.md for the multi-core/direct-attach "

@@ -37,6 +37,13 @@ def make_spatial_train_step(cfg, anchors, tx, mesh: Mesh):
     """Jitted DP x spatial train step: batch on 'data', BEV on 'spatial'."""
     import optax
 
+    if cfg.model.flat_batch:
+        import dataclasses as _dc
+        # see make_train_step: flat batching is per-device; under a sharded
+        # global batch the vmap path is the correct execution mode
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                 flat_batch=False))
+
     sh = bev_sharding(mesh)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))

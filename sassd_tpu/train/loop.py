@@ -78,6 +78,15 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
 
     packed_layout: optional batch_pack_layout(...) — the step then takes a
     pack_batch()-ed dict (one buffer per dtype) and unpacks on device."""
+    if mesh is not None and cfg.model.flat_batch:
+        import dataclasses as _dc
+        # flat-batch merges the batch axis into conv rows, which under a
+        # data-SHARDED global batch makes every plan gather address a
+        # row-sharded operand (SPMD inserts all-gathers and reorders
+        # reductions). Flat batching is a per-device execution mode; under
+        # a mesh the per-device batch runs the vmap path unchanged.
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                 flat_batch=False))
 
     def step(params, state, opt_state, batch):
         if packed_layout is not None:

@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch_size", type=int, default=1,
                     help="run every variant at this batch size")
+    ap.add_argument("--flat_batch", type=int, default=1,
+                    help="0: per-sample vmap sparse convs (pre-round-3 mode)")
     args = ap.parse_args()
     want = None if args.variants == "all" else set(args.variants.split(","))
 
@@ -89,6 +91,9 @@ def main():
 
     print(jax.devices(), flush=True)
     cfg = car_config()
+    if not args.flat_batch:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, flat_batch=False))
     staged, anchors = build_inputs(cfg)
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
 
