@@ -41,14 +41,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sassd_tpu.config import car_config
+    from sassd_tpu.config import car_config, tiny_config
     from sassd_tpu.data import augment as aug
     from sassd_tpu.data.kitti import build_anchors, build_host_plans
     from sassd_tpu.data.synthetic import make_scene
     from sassd_tpu.models import detector
     from sassd_tpu.ops.voxelize import voxelize_np
 
-    cfg = car_config()
+    # SASSD_BENCH_TINY=1: structural smoke mode (tiny config, CPU-friendly)
+    # for validating the harness itself; the headline always runs car_config
+    tiny = os.environ.get("SASSD_BENCH_TINY") == "1"
+    cfg = tiny_config() if tiny else car_config()
     rng = np.random.default_rng(0)
 
     anchors_np, anchors_bv = build_anchors(cfg)[:2]
