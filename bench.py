@@ -40,6 +40,9 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sassd_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from sassd_tpu.config import car_config, tiny_config
     from sassd_tpu.data import augment as aug
@@ -48,9 +51,13 @@ def main():
     from sassd_tpu.models import detector
     from sassd_tpu.ops.voxelize import voxelize_np
 
-    # SASSD_BENCH_TINY=1: structural smoke mode (tiny config, CPU-friendly)
-    # for validating the harness itself; the headline always runs car_config
+    # SASSD_BENCH_TINY=1: structural smoke mode (tiny config, CPU-forced —
+    # the axon sitecustomize overrides JAX_PLATFORMS so plain env vars
+    # don't stick) for validating the harness itself; the headline always
+    # runs car_config on the default platform
     tiny = os.environ.get("SASSD_BENCH_TINY") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
     cfg = tiny_config() if tiny else car_config()
     rng = np.random.default_rng(0)
 

@@ -17,6 +17,9 @@ Variants (select with --variants, comma-separated; default all):
   nms_pre_2048  nms_pre >= candidate cap (skips the pre-NMS top_k sort)
   ga_notopk     guided-anchor top_k(cap of A) replaced by cumsum compaction
                 (index-order, measurement only — quantifies the sort cost)
+  bf16          model.compute_dtype="bfloat16" (respects --batch_size: at
+                bs>1 the flat-batch BEVNet may turn MXU-bound where bs=1
+                measured bf16 as latency-neutral)
   bs4           default graph at batch_size=4 (batch-scaling diagnosis)
 
 --batch_size N runs EVERY selected variant at batch size N (scans are
@@ -162,6 +165,10 @@ def main():
 
     measure("nms_pre_2048", dataclasses.replace(
         cfg, test=dataclasses.replace(cfg.test, nms_pre=2048)), staged)
+
+    measure("bf16", dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16")), staged)
 
     # ga_notopk: cumsum compaction in place of the guided-anchor top_k
     orig_topk = jax.lax.top_k
