@@ -76,18 +76,48 @@ def box_collision_test(corners1: np.ndarray, corners2: np.ndarray) -> np.ndarray
     return ~np.any(sep, axis=2)
 
 
+def _sat_collide_pairs(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """Elementwise convex collision of matched rectangle pairs.
+    [P,4,2] x [P,4,2] -> [P] bool. Same math (and eps, on normalized axes)
+    as box_collision_test, restricted to given pairs."""
+    if c1.shape[0] == 0:
+        return np.zeros((0,), bool)
+    e = np.concatenate([np.roll(c1, -1, 1) - c1, np.roll(c2, -1, 1) - c2], 1)
+    ax = np.stack([-e[..., 1], e[..., 0]], axis=-1)            # [P,8,2]
+    ax = ax / np.maximum(np.linalg.norm(ax, axis=-1, keepdims=True), 1e-9)
+    p1 = np.einsum("pka,pqa->pkq", ax, c1)                     # [P,8,4]
+    p2 = np.einsum("pka,pqa->pkq", ax, c2)
+    sep = (p1.max(-1) < p2.min(-1) - 1e-9) | (p2.max(-1) < p1.min(-1) - 1e-9)
+    return ~sep.any(-1)
+
+
 def points_in_rbbox_np(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """[N,>=3] points vs [M,7] lidar boxes (z bottom) -> [N,M] bool."""
-    if boxes.shape[0] == 0:
-        return np.zeros((points.shape[0], 0), bool)
-    d = points[:, None, :2] - boxes[None, :, :2]
-    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
-    lx = d[..., 0] * c - d[..., 1] * s
-    ly = d[..., 0] * s + d[..., 1] * c
-    in_z = (points[:, 2:3] >= boxes[None, :, 2]) & (
-        points[:, 2:3] <= boxes[None, :, 2] + boxes[None, :, 5])
-    return ((np.abs(lx) <= boxes[None, :, 3] / 2)
-            & (np.abs(ly) <= boxes[None, :, 4] / 2) & in_z)
+    """[N,>=3] points vs [M,7] lidar boxes (z bottom) -> [N,M] bool.
+
+    Per-box bounding-circle prefilter before the exact rotated test: the
+    rotation is an isometry, so any point inside the box lies within the
+    half-diagonal radius of the center — the filter is an exact superset.
+    """
+    n, m = points.shape[0], boxes.shape[0]
+    out = np.zeros((n, m), bool)
+    if m == 0 or n == 0:
+        return out
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    for j in range(m):
+        bx, by, bz, bl, bw, bh, yaw = boxes[j, :7]
+        r = 0.5 * np.hypot(bl, bw)
+        dx = x - bx
+        dy = y - by
+        cand = ((np.abs(dx) <= r) & (np.abs(dy) <= r)
+                & (z >= bz) & (z <= bz + bh))
+        idx = np.nonzero(cand)[0]
+        if idx.size == 0:
+            continue
+        c, s = np.cos(yaw), np.sin(yaw)
+        lx = dx[idx] * c - dy[idx] * s
+        ly = dx[idx] * s + dy[idx] * c
+        out[idx, j] = (np.abs(lx) <= bl / 2) & (np.abs(ly) <= bw / 2)
+    return out
 
 
 def filter_gt_box_outside_range(gt_boxes: np.ndarray,
@@ -288,23 +318,45 @@ class PointAugmentor:
 
         chosen_loc = np.zeros((n, 3))
         chosen_rot = np.zeros((n,))
+        # Candidates are tested in chunks with an early exit (most objects
+        # accept try 0 — the reference's numba loop, point_augmentor.py:73-101,
+        # also stops at the first success), and pairs are prefiltered by
+        # standup-AABB overlap before the SAT test (geometry.py:594-674 does
+        # the same): disjoint AABBs => disjoint convex shapes, so the filter
+        # never changes the outcome. Selection order is identical to testing
+        # all num_try candidates at once.
+        chunk = 8
         for i in range(n):
-            # candidate corners for all tries at once
             local = corners[i] - gt_boxes[i, :2]
-            c = np.cos(rot_noises[i])[:, None]
-            s = np.sin(rot_noises[i])[:, None]
-            cand = np.stack([local[None, :, 0] * c + local[None, :, 1] * s,
-                             -local[None, :, 0] * s + local[None, :, 1] * c],
-                            axis=-1)
-            cand += gt_boxes[i, :2] + loc_noises[i, :, :2][:, None, :]
-            coll = box_collision_test(cand, corners)          # [T, N]
-            coll[:, i] = False
-            ok = ~coll.any(axis=1)
-            hit = np.argmax(ok)
-            if ok[hit]:
-                chosen_loc[i] = loc_noises[i, hit]
-                chosen_rot[i] = rot_noises[i, hit]
-                corners[i] = cand[hit]
+            bmin = corners.min(axis=1)                        # [N, 2]
+            bmax = corners.max(axis=1)
+            for t0 in range(0, rot_noises.shape[1], chunk):
+                rot = rot_noises[i, t0:t0 + chunk]
+                c = np.cos(rot)[:, None]
+                s = np.sin(rot)[:, None]
+                cand = np.stack(
+                    [local[None, :, 0] * c + local[None, :, 1] * s,
+                     -local[None, :, 0] * s + local[None, :, 1] * c],
+                    axis=-1)
+                cand += (gt_boxes[i, :2]
+                         + loc_noises[i, t0:t0 + chunk, :2][:, None, :])
+                cmin = cand.min(axis=1)                       # [T, 2]
+                cmax = cand.max(axis=1)
+                near = ~np.any(
+                    (cmax[:, None] < bmin[None] - 1e-9)
+                    | (bmax[None] < cmin[:, None] - 1e-9), axis=-1)  # [T, N]
+                near[:, i] = False
+                coll = np.zeros(near.shape, bool)
+                ti, nj = np.nonzero(near)
+                if ti.size:
+                    coll[ti, nj] = _sat_collide_pairs(cand[ti], corners[nj])
+                ok = ~coll.any(axis=1)
+                hit = np.argmax(ok)
+                if ok[hit]:
+                    chosen_loc[i] = loc_noises[i, t0 + hit]
+                    chosen_rot[i] = rot_noises[i, t0 + hit]
+                    corners[i] = cand[hit]
+                    break
 
         # transform points of each box (first containing box wins)
         any_box = point_masks.any(axis=1)

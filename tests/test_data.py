@@ -157,6 +157,93 @@ def test_noise_per_object_moves_points_with_boxes(cfg):
     assert inb[100:, 1].mean() > 0.9
 
 
+def test_noise_per_object_matches_allcandidate_oracle():
+    """The chunked early-exit + AABB-prefilter fast path must select exactly
+    the same jitter as testing every candidate at once (the semantics of the
+    reference's sequential numba loop, point_augmentor.py:73-101)."""
+
+    def oracle(boxes, pts, std, rot_range, seed, num_try=100):
+        rng = np.random.default_rng(seed)
+        n = boxes.shape[0]
+        loc = rng.normal(scale=std, size=(n, num_try, 3))
+        rot = rng.uniform(rot_range[0], rot_range[1], size=(n, num_try))
+        corners = aug.corners_2d(boxes[:, :2], boxes[:, 3:5], boxes[:, 6])
+        masks = aug.points_in_rbbox_np(pts, boxes)
+        ch_loc = np.zeros((n, 3))
+        ch_rot = np.zeros((n,))
+        for i in range(n):
+            local = corners[i] - boxes[i, :2]
+            c, s = np.cos(rot[i])[:, None], np.sin(rot[i])[:, None]
+            cand = np.stack([local[None, :, 0] * c + local[None, :, 1] * s,
+                             -local[None, :, 0] * s + local[None, :, 1] * c],
+                            axis=-1)
+            cand += boxes[i, :2] + loc[i, :, :2][:, None, :]
+            coll = aug.box_collision_test(cand, corners)
+            coll[:, i] = False
+            ok = ~coll.any(axis=1)
+            hit = np.argmax(ok)
+            if ok[hit]:
+                ch_loc[i], ch_rot[i] = loc[i, hit], rot[i, hit]
+                corners[i] = cand[hit]
+        any_box = masks.any(axis=1)
+        first = np.argmax(masks, axis=1)
+        idx = np.nonzero(any_box)[0]
+        if idx.size:
+            b = first[idx]
+            rel = pts[idx, :3] - boxes[b, :3]
+            c, s = np.cos(ch_rot[b]), np.sin(ch_rot[b])
+            rel = np.stack([rel[:, 0] * c + rel[:, 1] * s,
+                            -rel[:, 0] * s + rel[:, 1] * c, rel[:, 2]], 1)
+            pts[idx, :3] = rel + boxes[b, :3] + ch_loc[b]
+        boxes[:, :3] += ch_loc
+        boxes[:, 6] += ch_rot
+        return boxes, pts
+
+    rng0 = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng0.integers(2, 25))
+        boxes = np.zeros((n, 7))
+        boxes[:, :2] = rng0.uniform(-25, 25, (n, 2))
+        boxes[:, 2] = rng0.uniform(-2, 0, n)
+        boxes[:, 3:6] = rng0.uniform(0.5, 4.0, (n, 3))
+        boxes[:, 6] = rng0.uniform(-np.pi, np.pi, n)
+        pts = np.zeros((500, 4))
+        pts[:, :3] = rng0.uniform(-27, 27, (500, 3))
+        a = aug.PointAugmentor.__new__(aug.PointAugmentor)
+        a._center_noise_std = [1.0, 1.0, 0.5]
+        a._gt_rot_range = (-0.785, 0.785)
+        a._rng = np.random.default_rng(trial)
+        b_new, p_new = a.noise_per_object(boxes.copy(), pts.copy())
+        b_ref, p_ref = oracle(boxes.copy(), pts.copy(),
+                              a._center_noise_std, a._gt_rot_range, trial)
+        np.testing.assert_allclose(b_new, b_ref)
+        np.testing.assert_allclose(p_new, p_ref)
+
+
+def test_points_in_rbbox_matches_dense_oracle():
+    """Bounding-circle prefilter path == dense all-pairs rotated test."""
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        n, m = int(rng.integers(1, 1500)), int(rng.integers(0, 10))
+        pts = rng.uniform(-40, 40, (n, 4))
+        boxes = np.zeros((m, 7))
+        if m:
+            boxes[:, :2] = rng.uniform(-35, 35, (m, 2))
+            boxes[:, 2] = rng.uniform(-3, 0, m)
+            boxes[:, 3:6] = rng.uniform(0.3, 5, (m, 3))
+            boxes[:, 6] = rng.uniform(-4, 4, m)
+        got = aug.points_in_rbbox_np(pts, boxes)
+        d = pts[:, None, :2] - boxes[None, :, :2]
+        c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+        lx = d[..., 0] * c - d[..., 1] * s
+        ly = d[..., 0] * s + d[..., 1] * c
+        in_z = (pts[:, 2:3] >= boxes[None, :, 2]) & (
+            pts[:, 2:3] <= boxes[None, :, 2] + boxes[None, :, 5])
+        want = ((np.abs(lx) <= boxes[None, :, 3] / 2)
+                & (np.abs(ly) <= boxes[None, :, 4] / 2) & in_z)
+        assert (got == want).all()
+
+
 def test_loader_sharding(kitti_root, cfg):
     ds = KittiDataset(cfg, kitti_root / "training",
                       kitti_root / "ImageSets" / "train.txt", test_mode=True)
