@@ -58,22 +58,19 @@ def box_collision_test(corners1: np.ndarray, corners2: np.ndarray) -> np.ndarray
     candidate edge axis separates them.
     """
     n, m = corners1.shape[0], corners2.shape[0]
+    out = np.zeros((n, m), bool)
     if n == 0 or m == 0:
-        return np.zeros((n, m), bool)
-
-    def axes(c):
-        e = np.roll(c, -1, axis=1) - c                       # [K, 4, 2] edges
-        a = np.stack([-e[..., 1], e[..., 0]], axis=-1)       # normals
-        norm = np.linalg.norm(a, axis=-1, keepdims=True)
-        return a / np.maximum(norm, 1e-9)
-
-    ax = np.concatenate([axes(corners1)[:, None, :, :].repeat(m, 1),
-                         axes(corners2)[None, :, :, :].repeat(n, 0)], axis=2)
-    # projections: [N, M, 8, 4]
-    p1 = np.einsum("nmka,npa->nmkp", ax, corners1)
-    p2 = np.einsum("nmka,mpa->nmkp", ax, corners2)
-    sep = (p1.max(-1) < p2.min(-1) - 1e-9) | (p2.max(-1) < p1.min(-1) - 1e-9)
-    return ~np.any(sep, axis=2)
+        return out
+    # standup-AABB prefilter (geometry.py:594-674 does the same): disjoint
+    # AABBs => disjoint convex shapes, so skipped pairs cannot collide
+    min1, max1 = corners1.min(axis=1), corners1.max(axis=1)   # [N, 2]
+    min2, max2 = corners2.min(axis=1), corners2.max(axis=1)   # [M, 2]
+    near = ~np.any((max1[:, None] < min2[None] - 1e-9)
+                   | (max2[None] < min1[:, None] - 1e-9), axis=-1)
+    i, j = np.nonzero(near)
+    if i.size:
+        out[i, j] = _sat_collide_pairs(corners1[i], corners2[j])
+    return out
 
 
 def _sat_collide_pairs(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
