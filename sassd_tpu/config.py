@@ -86,6 +86,12 @@ class ModelConfig:
                                        # adapted to sorted keys) instead of
                                        # vmapping per sample — identical
                                        # numerics, no batched gathers
+    fold_head: bool = True             # run the head's three 1x1 convs
+                                       # (cls/box/dir) as ONE conv over the
+                                       # concatenated output channels —
+                                       # identical numerics (conv is linear
+                                       # per output channel), one MXU
+                                       # dispatch instead of three
     packed_warp: bool = True           # PSWarp bilinear sampling fetches
                                        # each 2x2 corner neighborhood with
                                        # ONE width-4 gather (4x fewer

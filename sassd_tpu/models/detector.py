@@ -274,7 +274,8 @@ def forward_train(params, state, batch, anchors, cfg: SASSDConfig,
 
     outs = ssd_head.head_apply(params["head"], spine.bev_map,
                                cfg.model.num_class, cfg.model.box_code_size,
-                               cfg.model.num_anchor_per_loc)
+                               cfg.model.num_anchor_per_loc,
+                               fold=cfg.model.fold_head)
     matched, unmatched = _assigner_thresholds(cfg)
     losses.update(ssd_head.head_loss(
         outs, anchors, batch["anchors_mask"], batch["gt_boxes"],
@@ -315,7 +316,8 @@ def forward_test(params, state, batch, anchors, cfg: SASSDConfig,
                           bev_sharding=bev_sharding)
     outs = ssd_head.head_apply(params["head"], spine.bev_map,
                                cfg.model.num_class, cfg.model.box_code_size,
-                               cfg.model.num_anchor_per_loc)
+                               cfg.model.num_anchor_per_loc,
+                               fold=cfg.model.fold_head)
     ga = ssd_head.get_guided_anchors(
         outs, anchors, batch["anchors_mask"], num_class=cfg.model.num_class,
         thr=cfg.test.anchor_thr, cap=cfg.caps.guided_test)

@@ -63,13 +63,28 @@ def _flatten(pred, num_class: int, per_anchor: int, anchors_per_loc: int = 2):
 
 
 def head_apply(params, x, num_class: int, box_code_size: int = 7,
-               anchors_per_loc: int = 2) -> HeadOutputs:
-    box = _flatten(L.conv2d(params["conv_box"], x), num_class, box_code_size,
-                   anchors_per_loc)
-    cls = _flatten(L.conv2d(params["conv_cls"], x), num_class, num_class,
-                   anchors_per_loc)
-    dirp = _flatten(L.conv2d(params["conv_dir"], x), num_class, 2,
-                    anchors_per_loc)
+               anchors_per_loc: int = 2, fold: bool = True) -> HeadOutputs:
+    npl = num_class * anchors_per_loc
+    if fold:
+        # One fused 1x1 conv over the concatenated output channels instead of
+        # three separate head convs: each output channel is the same dot
+        # product either way (conv is linear per-channel), so numerics are
+        # identical while the MXU sees one [HW, C] @ [C, out_total] matmul.
+        w = jnp.concatenate([params[k]["w"] for k in
+                             ("conv_box", "conv_cls", "conv_dir")], axis=-1)
+        b = jnp.concatenate([params[k]["b"] for k in
+                             ("conv_box", "conv_cls", "conv_dir")], axis=-1)
+        y = L.conv2d({"w": w, "b": b}, x)
+        nb, nc = npl * box_code_size, npl * num_class
+        box_y, cls_y, dir_y = (y[..., :nb], y[..., nb:nb + nc],
+                               y[..., nb + nc:])
+    else:
+        box_y = L.conv2d(params["conv_box"], x)
+        cls_y = L.conv2d(params["conv_cls"], x)
+        dir_y = L.conv2d(params["conv_dir"], x)
+    box = _flatten(box_y, num_class, box_code_size, anchors_per_loc)
+    cls = _flatten(cls_y, num_class, num_class, anchors_per_loc)
+    dirp = _flatten(dir_y, num_class, 2, anchors_per_loc)
     return HeadOutputs(box, cls, dirp)
 
 

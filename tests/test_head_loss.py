@@ -109,3 +109,20 @@ def test_head_loss_matches_reference_math():
     np.testing.assert_allclose(float(losses["rpn_loc_loss"]), loc_t, rtol=2e-4)
     np.testing.assert_allclose(float(losses["rpn_cls_loss"]), cls_t, rtol=2e-4)
     np.testing.assert_allclose(float(losses["rpn_dir_loss"]), dir_t, rtol=2e-4)
+
+
+def test_fold_head_parity():
+    """The fused single-conv head (model.fold_head) is numerically identical
+    to the three separate 1x1 convs — conv is linear per output channel, so
+    concat-weights-then-slice computes the same dot products."""
+    import jax
+    for num_class, apl in ((1, 2), (3, 2)):
+        key = jax.random.PRNGKey(num_class)
+        params = ssd_head.head_init(key, 16, num_class, apl)
+        x = jax.random.normal(jax.random.PRNGKey(99), (2, 5, 6, 16))
+        a = ssd_head.head_apply(params, x, num_class, 7, apl, fold=True)
+        b = ssd_head.head_apply(params, x, num_class, 7, apl, fold=False)
+        for name in ("box_preds", "cls_preds", "dir_preds"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                atol=1e-6, err_msg=name)

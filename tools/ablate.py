@@ -17,6 +17,8 @@ Variants (select with --variants, comma-separated; default all):
   nms_pre_2048  nms_pre >= candidate cap (skips the pre-NMS top_k sort)
   ga_notopk     guided-anchor top_k(cap of A) replaced by cumsum compaction
                 (index-order, measurement only — quantifies the sort cost)
+  head_unfold   model.fold_head=False (three separate 1x1 head convs —
+                quantifies the fused-head dispatch saving)
   bf16          model.compute_dtype="bfloat16" (respects --batch_size: at
                 bs>1 the flat-batch BEVNet may turn MXU-bound where bs=1
                 measured bf16 as latency-neutral)
@@ -165,6 +167,9 @@ def main():
 
     measure("nms_pre_2048", dataclasses.replace(
         cfg, test=dataclasses.replace(cfg.test, nms_pre=2048)), staged)
+
+    measure("head_unfold", dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, fold_head=False)), staged)
 
     measure("bf16", dataclasses.replace(
         cfg, model=dataclasses.replace(
