@@ -166,8 +166,13 @@ def main():
     q: "queue.Queue" = queue.Queue(maxsize=2)
 
     def produce():
+        # stage the h2d transfer IN the producer thread (jax.device_put is
+        # async and thread-safe): the consumer then dispatches on
+        # device-resident buffers, so transfer overlaps device compute
+        # instead of serializing between dispatches
         for i in range(sustained_iters):
-            q.put(pack_batch(host_work(scenes[i % n_scans]), layout))
+            q.put(jax.device_put(
+                pack_batch(host_work(scenes[i % n_scans]), layout)))
         q.put(None)
 
     # warm the packed executable outside the timed window
@@ -197,7 +202,8 @@ def main():
         "host_ms_per_scan": round(host_ms, 2),
         "producer_leg_ms_per_scan": round(producer_ms, 2),
         "consumer_leg_ms_per_scan": round(consumer_ms, 2),
-        "pipeline": "1 producer thread, queue depth 2, incl. h2d transfer",
+        "pipeline": "1 producer thread (host work + staged h2d via async "
+                    "device_put), queue depth 2",
         "note": "sustained includes ~40ms/scan network-tunnel h2d on this "
                 "build VM; see PERF.md for the multi-core/direct-attach "
                 "projection",
