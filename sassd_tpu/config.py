@@ -127,6 +127,17 @@ class TrainConfig:
     extra_neg_iou: float = 0.7
     extra_similarity: str = "RotateIou3dSimilarity"
     rpn_similarity: str = "NearestIouSimilarity"
+    max_inflight_steps: int = 2        # async train-step dispatch depth.
+                                       # Bounds the device-side queue: an
+                                       # unthrottled loop whose host leg
+                                       # outruns the device grows the
+                                       # in-flight queue without bound and
+                                       # runtime per-dispatch cost grows
+                                       # with depth. On single-core hosts
+                                       # behind networked accelerators use
+                                       # 1: concurrent transfer
+                                       # serialization oversubscribes the
+                                       # core and slows every leg 4-5x.
     checkpoint_interval: int = 2       # epochs
     checkpoint_every_steps: int = 0    # mid-epoch saves every N steps
                                        # (0 = off); resume fast-forwards

@@ -42,17 +42,18 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
     rank-strided DistEvalHook, eval_hooks.py:23-108); padding duplicates are
     deduplicated by sample id at merge time.
     """
-    from sassd_tpu.train.loop import batch_pack_layout, pack_batch
+    from sassd_tpu.train.loop import HostStager, batch_pack_layout
     logger = logger or logging.getLogger("sassd")
     anchors = jnp.asarray(dataset.anchors)
     layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
     step = make_test_step(cfg, anchors, packed_layout=layout)
     class_names = list(cfg.class_names)
+    stager = HostStager()
     annos, ids = [], []
     for batch, metas in iterate_batches(
             dataset, batch_size, shuffle=False, num_workers=2,
             num_shards=num_shards, shard_id=shard_id):
-        dets = jax.device_get(step(params, state, pack_batch(batch, layout)))
+        dets = jax.device_get(step(params, state, stager.pack(batch, layout)))
         for i, meta in enumerate(metas):
             annos.append(detections_to_kitti_anno(
                 dets["boxes"][i], dets["scores"][i], dets["labels"][i],

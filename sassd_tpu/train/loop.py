@@ -46,13 +46,66 @@ def batch_pack_layout(template: Dict[str, np.ndarray]):
     return groups
 
 
-def pack_batch(batch: Dict[str, np.ndarray], layout) -> Dict[str, np.ndarray]:
-    out = {}
+def pack_batch(batch: Dict[str, np.ndarray], layout,
+               out: Dict[str, np.ndarray] = None) -> Dict[str, np.ndarray]:
+    """Concatenate same-dtype arrays into one [B, total] buffer per dtype.
+
+    out: optional pre-allocated destination buffers (see HostStager) —
+    packing then writes in place and transfers reuse pinned host memory.
+    """
+    dst = {} if out is None else out
     for g, entries in layout.items():
         parts = [np.ascontiguousarray(batch[k]).reshape(batch[k].shape[0], -1)
                  for k, _shape in entries]
-        out[g] = np.concatenate(parts, axis=1)
-    return out
+        if out is None:
+            dst[g] = np.concatenate(parts, axis=1)
+        else:
+            np.concatenate(parts, axis=1, out=dst[g])
+    return dst
+
+
+class HostStager:
+    """Persistent host staging buffers for h2d transfers.
+
+    Reusing the SAME host buffers keeps networked/tunneled PJRT clients
+    fast: their per-transfer cost grows with the number of DISTINCT host
+    buffers ever transferred (measured on the axon tunnel: fresh 8 MB
+    buffers degrade from 10 to ~190 ms/transfer within ~100 calls; one
+    reused buffer holds ~6 ms indefinitely).
+
+    Reuse safety depends on the backend's argument-ingestion semantics.
+    Accelerator clients copy (or fully stage) arguments at call time —
+    verified on the TPU tunnel by overwriting a numpy arg right after an
+    async dispatch with 8 in flight, without corruption. The CPU backend,
+    however, ZERO-COPY-BORROWS aligned numpy buffers for the duration of
+    the computation, so a slot may only be overwritten once every step
+    that consumed it has completed. Callers with K async steps in flight
+    must therefore use depth >= K+1 (slot for step i+1 was last used by
+    step i+1-depth, which a K-bounded dispatch queue has already retired).
+    """
+
+    def __init__(self, depth: int = 2):
+        self._slots = None
+        self._depth = depth
+        self._i = 0
+
+    def pack(self, batch: Dict[str, np.ndarray], layout):
+        if self._slots is None:
+            first = pack_batch(batch, layout)
+            self._slots = [
+                {g: np.empty_like(b) for g, b in first.items()}
+                for _ in range(self._depth)]
+            np_copy = self._slots[0]
+            for g, b in first.items():
+                np.copyto(np_copy[g], b)
+            self._i = 1
+            return np_copy
+        slot = self._slots[self._i % self._depth]
+        self._i += 1
+        b0 = next(iter(batch.values()))
+        if next(iter(slot.values())).shape[0] != b0.shape[0]:
+            return pack_batch(batch, layout)  # e.g. last partial batch
+        return pack_batch(batch, layout, out=slot)
 
 
 def unpack_batch(packed, layout):
@@ -230,6 +283,19 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
 
     from sassd_tpu.data.loader import iterate_batches
     buf = LogBuffer()
+    # Bound the async-dispatch depth. When the host leg is faster than the
+    # device step, an unthrottled loop enqueues steps faster than the device
+    # retires them; the in-flight queue then grows without bound and the
+    # runtime's per-dispatch cost grows with queue depth (measured on the
+    # tunneled client: cadence creeping 0.4 -> 2.5 s/step while the blocked
+    # step is a steady 0.28 s). Blocking on the (i-K)-th step's loss keeps
+    # K steps in flight — full overlap, bounded queue.
+    import collections as _collections
+    inflight: "_collections.deque" = _collections.deque()
+    max_inflight = max(getattr(cfg.train, "max_inflight_steps", 2), 1)
+    # depth = K+1: a slot is only rewritten after the step that borrowed
+    # it has retired (required on the zero-copy CPU backend; see HostStager)
+    stager = HostStager(depth=max_inflight + 1)
     every = getattr(cfg.train, "checkpoint_every_steps", 0) or 0
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
@@ -238,11 +304,14 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 dataset, local_bs, epoch=epoch, seed=cfg.train.seed,
                 shuffle=True, num_shards=num_hosts, shard_id=host_id,
                 num_workers=cfg.data.num_workers, start_batch=start_batch):
-            packed = pack_batch(batch, layout)
+            packed = stager.pack(batch, layout)
             dev_batch = (mesh_lib.shard_batch(mesh, packed)
                          if mesh is not None else packed)
             params, state, opt_state, metrics = train_step(
                 params, state, opt_state, dev_batch)
+            inflight.append(metrics["loss"])
+            if len(inflight) > max_inflight:
+                jax.block_until_ready(inflight.popleft())
             step += 1
             bidx += 1
             if every and bidx < steps_per_epoch and step % every == 0:
@@ -258,8 +327,11 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
             buf.update(metrics)          # device scalars; no per-step sync
             if step % cfg.train.log_interval == 0:
                 avg = buf.averages()
-                lr, mom = optim_lib.current_hyperparams(
-                    jax.device_get(opt_state))
+                # fetch ONLY the scalar hyperparams — device_get of the
+                # whole opt_state pulls the full Adam state (2x params)
+                # over the interconnect just to print lr/momentum
+                hp = jax.device_get(opt_state[1].hyperparams)
+                lr, mom = float(hp["learning_rate"]), float(hp.get("b1", 0.0))
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
                 logger.info("epoch %d step %d lr %.5f mom %.3f %s",
                             epoch, step, lr, mom, msg)

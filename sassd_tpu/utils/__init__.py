@@ -1,1 +1,1 @@
-from . import logging_utils, timer  # noqa: F401
+from . import cache, logging_utils, timer  # noqa: F401

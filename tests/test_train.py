@@ -286,3 +286,33 @@ def test_nonfinite_update_skipped(setup):
         for a, b in zip(jax.tree_util.tree_leaves(params_before),
                         jax.tree_util.tree_leaves(jax.device_get(p3))))
     assert changed
+
+
+def test_host_stager_pack_matches_pack_batch():
+    """HostStager reuses pinned buffers but must produce byte-identical
+    packs, rotate depth slots, and fall back cleanly on partial batches."""
+    rng = np.random.default_rng(3)
+
+    def mk(bs):
+        return {"a": rng.standard_normal((bs, 5, 3)).astype(np.float32),
+                "b": rng.integers(0, 100, (bs, 7)).astype(np.int32)}
+
+    layout = loop.batch_pack_layout(mk(2))
+    st = loop.HostStager(depth=2)
+    outs = []
+    for i in range(5):
+        b = mk(2)
+        ref = loop.pack_batch(b, layout)
+        got = st.pack(b, layout)
+        assert set(ref) == set(got)
+        for g in ref:
+            assert np.array_equal(ref[g], got[g])
+        outs.append(got)
+    g = next(iter(outs[1]))
+    assert outs[1][g] is not outs[2][g]     # adjacent calls: distinct sets
+    assert outs[1][g] is outs[3][g]         # depth-2 rotation reuses
+    partial = mk(1)                          # last partial batch of an epoch
+    ref = loop.pack_batch(partial, layout)
+    got = st.pack(partial, layout)
+    for g in ref:
+        assert np.array_equal(ref[g], got[g])

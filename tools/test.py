@@ -23,6 +23,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from sassd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from sassd_tpu.config import load_config
     from sassd_tpu.data.kitti import KittiDataset
     from sassd_tpu.inference import evaluate, run_inference

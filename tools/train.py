@@ -45,6 +45,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from sassd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.dist or args.coordinator:
         from sassd_tpu.parallel import dist
         dist.initialize(args.coordinator, args.num_processes,
