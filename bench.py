@@ -8,14 +8,13 @@ Prints ONE JSON line:
 `value` is the device-graph throughput over pre-staged device-resident
 batches (the full jitted test-time graph; comparable across rounds). The
 honest serving picture is reported alongside:
-  * sustained_pipelined_scans_per_sec — a loader thread performs the full
-    per-scan host work (C++ voxelization, BEV anchors mask, C++ sparse-conv
-    rulebook) overlapped with device dispatch, double-buffered, INCLUDING
-    host->device transfer. NOTE: on this build VM the accelerator sits
-    behind a network tunnel whose ~10 MB/scan transfer costs ~40 ms — a
-    directly-attached TPU moves that over PCIe and overlaps it; the
-    sustained figure here is a tunnel-bandwidth lower bound, not a device
-    property.
+  * sustained_pipelined_scans_per_sec — full per-scan host work (C++
+    voxelization, BEV anchors mask, C++ sparse-conv rulebook) + staged
+    h2d + dispatch with ONE step in flight, so device compute overlaps
+    the next scan's host prep. NOTE: on this build VM the accelerator
+    sits behind a network tunnel and the host has one core — the
+    sustained figure is a tunnel/1-core lower bound, not a device
+    property (see PERF.md for the measured leg decomposition).
   * host_ms_per_scan — serial host work per scan, so the projection onto a
     normal multi-core host is arithmetic: sustained ~= 1 / max(device_ms,
     host_ms / cores_used).
@@ -28,9 +27,7 @@ rescoring, rotated NMS — one jitted XLA program per scan.
 """
 import json
 import os
-import queue
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -97,8 +94,8 @@ def main():
 
     # packed variant for the sustained path: one h2d buffer per dtype
     # (per-array transfer RPCs dominate on networked accelerators)
-    from sassd_tpu.train.loop import (batch_pack_layout, pack_batch,
-                                      unpack_batch)
+    from sassd_tpu.train.loop import (HostStager, batch_pack_layout,
+                                      pack_batch, unpack_batch)
     layout = batch_pack_layout(host_work(scenes[0]))
 
     @jax.jit
@@ -130,65 +127,50 @@ def main():
     host_ms = (time.perf_counter() - t0) / n_scans * 1000.0
 
     # ---- (b2) decomposition legs ----------------------------------------
-    # consumer leg alone: pre-packed HOST batches, each dispatch pays h2d +
-    # device compute, no producer thread. sustained ~= max(producer, consumer)
-    # when overlap works; consumer >> parts means the transfer/dispatch path
-    # itself is the bottleneck (tunnel RPC serialization).
+    # consumer leg alone: STAGED host batches (HostStager pins the h2d
+    # buffers — a networked PJRT client's per-transfer cost grows with the
+    # number of distinct host buffers it has ever seen), each dispatch pays
+    # h2d + device compute. sustained ~= producer-serial + consumer when no
+    # spare core exists to overlap them (this VM), ~= max(...) otherwise.
+    stager = HostStager(depth=2)
     prepacked = [pack_batch(host_work(s), layout) for s in scenes]
-    jax.block_until_ready(step_packed(params, state, prepacked[0]))
+    jax.block_until_ready(step_packed(params, state,
+                                      stager.pack(host_work(scenes[0]),
+                                                  layout)))
     t0 = time.perf_counter()
     out = None
     for i in range(16):
-        out = step_packed(params, state, prepacked[i % n_scans])
+        out = step_packed(params, state, stager.stage(
+            prepacked[i % n_scans]))
     jax.block_until_ready(out)
     consumer_ms = (time.perf_counter() - t0) / 16 * 1000.0
 
-    # producer leg alone: host_work + pack through the queue, zero-cost sink
-    qp: "queue.Queue" = queue.Queue(maxsize=2)
-
-    def produce_only():
-        for i in range(16):
-            qp.put(pack_batch(host_work(scenes[i % n_scans]), layout))
-        qp.put(None)
-
-    tp = threading.Thread(target=produce_only, daemon=True)
+    # producer leg alone: host_work + pack, serial (threaded producers
+    # oversubscribe the single core and slow every leg — measured)
     t0 = time.perf_counter()
-    tp.start()
-    while qp.get() is not None:
-        pass
+    for i in range(16):
+        pack_batch(host_work(scenes[i % n_scans]), layout)
     producer_ms = (time.perf_counter() - t0) / 16 * 1000.0
 
-    # ---- (c) sustained pipelined throughput -----------------------------
-    # one producer thread (voxelize + anchors mask + rulebook) feeding a
-    # depth-2 queue; consumer dispatches to the device. Device compute
-    # happens off-CPU, so host work overlaps it even on few cores.
+    # ---- (c) sustained throughput ---------------------------------------
+    # Sequential loop, staged h2d, ONE step in flight (dispatch i, then
+    # block i-1): the device computes while the host prepares the next
+    # scan. Producer threads and device_put staging were both measured
+    # SLOWER on this VM (GIL + client-lock contention, and an unbounded
+    # dispatch queue whose per-call cost grows with depth); on multi-core
+    # hosts the loader pool overlaps host work instead.
     sustained_iters = 40
-    q: "queue.Queue" = queue.Queue(maxsize=2)
-
-    def produce():
-        # stage the h2d transfer IN the producer thread (jax.device_put is
-        # async and thread-safe): the consumer then dispatches on
-        # device-resident buffers, so transfer overlaps device compute
-        # instead of serializing between dispatches
-        for i in range(sustained_iters):
-            q.put(jax.device_put(
-                pack_batch(host_work(scenes[i % n_scans]), layout)))
-        q.put(None)
-
-    # warm the packed executable outside the timed window
     jax.block_until_ready(step_packed(
-        params, state, pack_batch(host_work(scenes[0]), layout)))
-
-    t = threading.Thread(target=produce, daemon=True)
+        params, state, stager.pack(host_work(scenes[0]), layout)))
     t0 = time.perf_counter()
-    t.start()
-    out = None
-    while True:
-        b = q.get()
-        if b is None:
-            break
-        out = step_packed(params, state, b)
-    jax.block_until_ready(out)
+    prev = None
+    for i in range(sustained_iters):
+        b = stager.pack(host_work(scenes[i % n_scans]), layout)
+        cur = step_packed(params, state, b)
+        if prev is not None:
+            jax.block_until_ready(prev)
+        prev = cur
+    jax.block_until_ready(prev)
     sustained_sps = sustained_iters / (time.perf_counter() - t0)
 
     print(json.dumps({
@@ -202,8 +184,8 @@ def main():
         "host_ms_per_scan": round(host_ms, 2),
         "producer_leg_ms_per_scan": round(producer_ms, 2),
         "consumer_leg_ms_per_scan": round(consumer_ms, 2),
-        "pipeline": "1 producer thread (host work + staged h2d via async "
-                    "device_put), queue depth 2",
+        "pipeline": "sequential staged-h2d loop, 1 step in flight "
+                    "(see PERF.md: threads/device_put measured slower here)",
         "note": "sustained includes ~40ms/scan network-tunnel h2d on this "
                 "build VM; see PERF.md for the multi-core/direct-attach "
                 "projection",

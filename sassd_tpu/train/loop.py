@@ -107,6 +107,20 @@ class HostStager:
             return pack_batch(batch, layout)  # e.g. last partial batch
         return pack_batch(batch, layout, out=slot)
 
+    def stage(self, packed: Dict[str, np.ndarray]):
+        """Copy an already-packed dict into the rotating pinned buffers."""
+        if self._slots is None:
+            self._slots = [
+                {g: np.empty_like(b) for g, b in packed.items()}
+                for _ in range(self._depth)]
+        slot = self._slots[self._i % self._depth]
+        self._i += 1
+        for g, b in packed.items():
+            if slot[g].shape != b.shape:
+                return packed
+            np.copyto(slot[g], b)
+        return slot
+
 
 def unpack_batch(packed, layout):
     batch = {}
