@@ -115,11 +115,24 @@ class TrainConfig:
     total_epochs: int = 80
     lr: float = 0.003
     weight_decay: float = 0.01
+    weight_decay_mode: str = "exclude_bn_bias"
+                                       # "exclude_bn_bias": decay only conv/
+                                       # linear kernels (the fastai recipe
+                                       # the reference's optimizer stack is
+                                       # built on, fastai_optim.py:13-24);
+                                       # "all": decay every parameter (what
+                                       # the reference's call site selects
+                                       # via bn_wd=True,
+                                       # optimization/__init__.py:29)
     grad_clip_norm: float = 10.0
     # one-cycle schedule (car_cfg.py:203-208)
     moms: Tuple[float, float] = (0.95, 0.85)
     div_factor: float = 10.0
     pct_start: float = 0.4
+    # optional cosine warmup prefix for non-onecycle optimizers
+    # (CosineWarmupLR, learning_schedules_fastai.py:78-87)
+    warmup_iters: int = 0
+    warmup_ratio: float = 0.1
     # rpn thresholds
     anchor_thr: float = 0.1            # guided-anchor score threshold (train)
     # extra (PSWarp) assigner (car_cfg.py:60-68)

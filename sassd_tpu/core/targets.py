@@ -40,9 +40,46 @@ def rotate_iou3d_similarity(anchors, gt_boxes):
     return riou.rotate_iou_3d(anchors, gt_boxes)
 
 
+def rotate_iou2d_similarity(anchors, gt_boxes):
+    """Exact rotated BEV IoU (RotateIou2dSimilarity,
+    /root/reference/mmdet/core/bbox3d/region_similarity.py:51-58)."""
+    return riou.rotate_iou_bev(riou.boxes3d_to_bev5(anchors),
+                               riou.boxes3d_to_bev5(gt_boxes))
+
+
+def make_distance_similarity(dist_norm: float, with_rotation: bool = False,
+                             rot_alpha: float = 0.5) -> Callable:
+    """Negated-distance similarity (DistanceSimilarity,
+    region_similarity.py:98-128 / geometry.py:460-483 distance_similarity):
+
+        1 - min(d^2/dist_norm, dist_norm)                 (no rotation)
+        1 - (1-a)*min(d^2/dist_norm, dist_norm) - a*|sin(dth)|   (rotated)
+
+    gated to 0 outside the |dx|,|dy| <= dist_norm window.
+    """
+    def similarity(anchors, gt_boxes):
+        dx = anchors[:, None, 0] - gt_boxes[None, :, 0]
+        dy = anchors[:, None, 1] - gt_boxes[None, :, 1]
+        inside = (jnp.abs(dx) <= dist_norm) & (jnp.abs(dy) <= dist_norm)
+        d2 = dx * dx + dy * dy
+        dn = jnp.minimum(d2 / dist_norm, dist_norm)
+        if with_rotation:
+            dr = jnp.abs(jnp.sin(anchors[:, None, 6] - gt_boxes[None, :, 6]))
+            sim = 1.0 - (1.0 - rot_alpha) * dn - rot_alpha * dr
+        else:
+            sim = 1.0 - dn
+        return jnp.where(inside, sim, 0.0)
+
+    return similarity
+
+
 SIMILARITY_FNS = {
     "NearestIouSimilarity": nearest_iou_similarity,
     "RotateIou3dSimilarity": rotate_iou3d_similarity,
+    "RotateIou2dSimilarity": rotate_iou2d_similarity,
+    # registered-alternative (unused by the reference's configs); the
+    # dist_norm default matches second.pytorch's pedestrian/cyclist recipe
+    "DistanceSimilarity": make_distance_similarity(dist_norm=1.0),
 }
 
 

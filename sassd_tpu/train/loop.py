@@ -341,11 +341,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
             buf.update(metrics)          # device scalars; no per-step sync
             if step % cfg.train.log_interval == 0:
                 avg = buf.averages()
-                # fetch ONLY the scalar hyperparams — device_get of the
-                # whole opt_state pulls the full Adam state (2x params)
-                # over the interconnect just to print lr/momentum
-                hp = jax.device_get(opt_state[1].hyperparams)
-                lr, mom = float(hp["learning_rate"]), float(hp.get("b1", 0.0))
+                lr, mom = optim_lib.current_hyperparams(opt_state)
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
                 logger.info("epoch %d step %d lr %.5f mom %.3f %s",
                             epoch, step, lr, mom, msg)

@@ -9,7 +9,22 @@ cheap process restarts).
 """
 import os
 
-DEFAULT_CACHE_DIR = "/tmp/sassd_jax_cache_tpu"
+
+def default_cache_dir() -> str:
+    """Per-user cache location (XDG_CACHE_HOME or ~/.cache), /tmp fallback.
+
+    A world-shared /tmp path breaks on multi-user hosts (the second user
+    hits permission failures on the first user's directory) and /tmp
+    eviction silently defeats relaunch-chunk cache hits.
+    """
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    try:
+        os.makedirs(base, exist_ok=True)
+        if os.access(base, os.W_OK):
+            return os.path.join(base, "sassd_jax")
+    except OSError:
+        pass
+    return f"/tmp/sassd_jax_cache_{os.getuid()}"
 
 
 def enable_compilation_cache(cache_dir: str = None) -> None:
@@ -24,6 +39,6 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      cache_dir or env or DEFAULT_CACHE_DIR)
+                      cache_dir or env or default_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

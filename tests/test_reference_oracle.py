@@ -128,6 +128,37 @@ def test_nearest_iou_similarity_oracle():
     np.testing.assert_allclose(me, ref, atol=1e-5)
 
 
+def test_distance_similarity_oracle():
+    """vs the reference's DistanceSimilarity (region_similarity.py:98-128,
+    geometry.py:460-483 distance_similarity), both flavors."""
+    rs = R.load_region_similarity()
+    rng = np.random.default_rng(13)
+    boxes, anchors = rand_boxes7(rng, 60), rand_boxes7(rng, 50)
+    anchors[:30, :2] = boxes[:30, :2] + rng.normal(0, 0.5, (30, 2))
+    for with_rot in (False, True):
+        ref = rs.DistanceSimilarity(distance_norm=1.0,
+                                    with_rotation=with_rot,
+                                    rotation_alpha=0.5)(boxes, anchors)
+        sim = T.make_distance_similarity(1.0, with_rotation=with_rot,
+                                         rot_alpha=0.5)
+        me = np.asarray(sim(jnp.asarray(boxes), jnp.asarray(anchors)))
+        np.testing.assert_allclose(me, ref, atol=1e-5)
+
+
+def test_rotate_iou2d_similarity_oracle():
+    """vs the BEV IoU RotateIou2dSimilarity computes
+    (region_similarity.py:51-58 — rotate_iou_gpu is a kernel launcher, so
+    the oracle is the same devRotateIoUEval device math at criterion=-1)."""
+    rng = np.random.default_rng(14)
+    boxes, gts = rand_boxes7(rng, 24), rand_boxes7(rng, 18)
+    gts[:10, :2] = boxes[:10, :2] + rng.normal(0, 1.0, (10, 2))
+    ref = R.ref_rotate_iou_eval(boxes[:, [0, 1, 3, 4, 6]],
+                                gts[:, [0, 1, 3, 4, 6]], -1)
+    me = np.asarray(T.rotate_iou2d_similarity(jnp.asarray(boxes),
+                                              jnp.asarray(gts)))
+    np.testing.assert_allclose(me, ref, atol=2e-4)
+
+
 @pytest.mark.parametrize("criterion", [-1, 0, 1, 2])
 def test_rotated_iou_eval_oracle(criterion):
     """vs the reference's devRotateIoUEval CUDA device function (scalar
