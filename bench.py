@@ -7,14 +7,18 @@ Prints ONE JSON line:
 
 `value` is the device-graph throughput over pre-staged device-resident
 batches (the full jitted test-time graph; comparable across rounds). The
-honest serving picture is reported alongside:
-  * sustained_pipelined_scans_per_sec — full per-scan host work (C++
+honest serving picture is reported alongside, for BOTH serving modes:
+  * sustained_hostplans_scans_per_sec — full per-scan host work (C++
     voxelization, BEV anchors mask, C++ sparse-conv rulebook) + staged
     h2d + dispatch with ONE step in flight, so device compute overlaps
     the next scan's host prep. NOTE: on this build VM the accelerator
     sits behind a network tunnel and the host has one core — the
     sustained figure is a tunnel/1-core lower bound, not a device
     property (see PERF.md for the measured leg decomposition).
+  * serving_points_sustained_scans_per_sec — device-resident mode
+    (sassd_tpu/serve.py): the host ships ONLY raw padded points (~1 MB vs
+    ~8 MB) and voxelization + sparse-conv plans + anchors mask run inside
+    the XLA graph — the intended serving mode on degraded interconnects.
   * host_ms_per_scan — serial host work per scan, so the projection onto a
     normal multi-core host is arithmetic: sustained ~= 1 / max(device_ms,
     host_ms / cores_used).
@@ -37,10 +41,10 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sassd_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from sassd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
+    from sassd_tpu import serve
     from sassd_tpu.config import car_config, tiny_config
     from sassd_tpu.data import augment as aug
     from sassd_tpu.data.kitti import build_anchors, build_host_plans
@@ -137,12 +141,19 @@ def main():
     jax.block_until_ready(step_packed(params, state,
                                       stager.pack(host_work(scenes[0]),
                                                   layout)))
+    # ONE step in flight (dispatch i, block i-1), like the sustained loop:
+    # an unthrottled dispatch loop both outruns the depth-2 stager's
+    # reuse-safety bound and re-creates the unbounded-queue depth-cost
+    # pathology this leg exists to exclude (ADVICE r3)
     t0 = time.perf_counter()
-    out = None
+    prev_c = None
     for i in range(16):
-        out = step_packed(params, state, stager.stage(
+        cur = step_packed(params, state, stager.stage(
             prepacked[i % n_scans]))
-    jax.block_until_ready(out)
+        if prev_c is not None:
+            jax.block_until_ready(prev_c)
+        prev_c = cur
+    jax.block_until_ready(prev_c)
     consumer_ms = (time.perf_counter() - t0) / 16 * 1000.0
 
     # producer leg alone: host_work + pack, serial (threaded producers
@@ -173,22 +184,83 @@ def main():
     jax.block_until_ready(prev)
     sustained_sps = sustained_iters / (time.perf_counter() - t0)
 
+    # ---- (d) DEVICE-RESIDENT serving mode --------------------------------
+    # Ship ONLY raw padded points (~1 MB vs ~8 MB of voxels+plans+mask);
+    # voxelization, sparse-conv plans and the anchors mask run inside the
+    # XLA graph (sassd_tpu/serve.py). "On degraded interconnects, recompute
+    # on device what you cannot afford to ship."
+    pts_view = [serve.prepare_points(s, cfg) for s in scenes]
+    pts_layout = batch_pack_layout(
+        {"points": pts_view[0][0][None],
+         "n_points": np.asarray([pts_view[0][1]])})
+    serve_step = serve.make_serving_step(cfg, anchors_np, anchors_bv,
+                                         packed_layout=pts_layout)
+
+    def serve_host_work(scan, out=None):
+        pts, n = serve.prepare_points(scan, cfg, out=out)
+        return {"points": pts[None], "n_points": np.asarray([n])}
+
+    # (d1) device-graph throughput on pre-staged point batches
+    staged_pts = [{k: jnp.asarray(v)
+                   for k, v in pack_batch(serve_host_work(s),
+                                          pts_layout).items()}
+                  for s in scenes]
+    out = serve_step(params, state, staged_pts[0])
+    jax.block_until_ready(out)
+    for b in staged_pts[:3]:
+        jax.block_until_ready(serve_step(params, state, b))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = serve_step(params, state, staged_pts[i % n_scans])
+    jax.block_until_ready(out)
+    serve_device_sps = iters / (time.perf_counter() - t0)
+
+    # (d2) sustained: crop+pad (the whole host leg) + staged h2d, one step
+    # in flight
+    serve_stager = HostStager(depth=2)
+    jax.block_until_ready(serve_step(
+        params, state, serve_stager.pack(serve_host_work(scenes[0]),
+                                         pts_layout)))
+    t0 = time.perf_counter()
+    prev = None
+    for i in range(sustained_iters):
+        b = serve_stager.pack(serve_host_work(scenes[i % n_scans]),
+                              pts_layout)
+        cur = serve_step(params, state, b)
+        if prev is not None:
+            jax.block_until_ready(prev)
+        prev = cur
+    jax.block_until_ready(prev)
+    serve_sustained_sps = sustained_iters / (time.perf_counter() - t0)
+
+    wire_mb_points = sum(v.nbytes for v in pack_batch(
+        serve_host_work(scenes[0]), pts_layout).values()) / 1e6
+    wire_mb_hostplans = sum(v.nbytes for v in prepacked[0].values()) / 1e6
+    best_sustained = max(sustained_sps, serve_sustained_sps)
+
     print(json.dumps({
         "metric": "scans_per_sec_e2e_car_inference",
         "value": round(device_sps, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(device_sps / 25.0, 4),
         "vs_baseline_device_graph": round(device_sps / 25.0, 4),
-        "vs_baseline_sustained_this_vm": round(sustained_sps / 25.0, 4),
-        "sustained_pipelined_scans_per_sec": round(sustained_sps, 3),
+        "vs_baseline_sustained_this_vm": round(best_sustained / 25.0, 4),
+        "sustained_hostplans_scans_per_sec": round(sustained_sps, 3),
+        "serving_points_sustained_scans_per_sec":
+            round(serve_sustained_sps, 3),
+        "serving_points_device_graph_scans_per_sec":
+            round(serve_device_sps, 3),
+        "wire_mb_per_scan_hostplans": round(wire_mb_hostplans, 2),
+        "wire_mb_per_scan_points": round(wire_mb_points, 2),
         "host_ms_per_scan": round(host_ms, 2),
         "producer_leg_ms_per_scan": round(producer_ms, 2),
         "consumer_leg_ms_per_scan": round(consumer_ms, 2),
         "pipeline": "sequential staged-h2d loop, 1 step in flight "
                     "(see PERF.md: threads/device_put measured slower here)",
-        "note": "sustained includes ~40ms/scan network-tunnel h2d on this "
-                "build VM; see PERF.md for the multi-core/direct-attach "
-                "projection",
+        "note": "two serving modes measured: host-built plans (~8 MB/scan "
+                "h2d) and device-resident (raw points, ~1 MB/scan, "
+                "voxelize+plans+mask in-graph; sassd_tpu/serve.py); "
+                "vs_baseline_sustained_this_vm takes the better one",
     }))
 
 

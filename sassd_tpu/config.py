@@ -98,6 +98,19 @@ class ModelConfig:
                                        # gather rows; exact same numerics —
                                        # ops/warp.py::
                                        # bilinear_sample_per_part_packed)
+    sorted_device_levels: bool = True  # when building sparse-conv plans ON
+                                       # DEVICE (no host rulebook): keep the
+                                       # downsampled active sets KEY-SORTED
+                                       # (sort+unique) instead of the
+                                       # sort-free scatter-max dedup. Sorted
+                                       # levels let the packed triple
+                                       # gathers apply to device plans too
+                                       # (adjacent sorted keys = adjacent
+                                       # rows), tripling gather throughput
+                                       # for the cost of one XLA sort per
+                                       # downsample. Requires key-sorted
+                                       # input voxels — both voxelizers
+                                       # (ops/voxelize.py) guarantee it
     store_im2col: bool = False         # keep each conv's forward im2col as
                                        # a VJP residual so the backward dW
                                        # needs no recompute gather.
@@ -169,6 +182,14 @@ class TestConfig:
     nms_pre: int = 2000                # candidates kept before NMS
                                        # (test_cfg.extra.nms_pre,
                                        # car_cfg.py:74)
+    device_input: str = "voxels"       # "voxels": the loader voxelizes and
+                                       # builds plans/mask on the host (fast
+                                       # on well-attached multi-core hosts);
+                                       # "points": device-resident serving —
+                                       # ship ONLY raw padded points and
+                                       # voxelize + plan + mask inside the
+                                       # XLA graph (sassd_tpu/serve.py; the
+                                       # fast path on degraded interconnects)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -156,13 +156,19 @@ def anchors_mask_from_coords(coords_zyx: np.ndarray, anchors_bv: np.ndarray,
     np.add.at(dense, (coords_zyx[ok, 1], coords_zyx[ok, 2]), 1.0)
     integral = dense.cumsum(0).cumsum(1)
 
-    x0 = np.clip(np.floor((anchors_bv[:, 0] - pc_range[0]) / voxel_size[0]
+    # float32 quantization like the C++ kernel and the reference's float32
+    # numpy (geometry.py:684-710): anchor edges land exactly on grid lines,
+    # where a float64 floor can land one cell lower
+    bv = anchors_bv.astype(np.float32)
+    pcr = np.asarray(pc_range, np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    x0 = np.clip(np.floor((bv[:, 0] - pcr[0]) / vs[0]
                           ).astype(np.int64), 0, w - 1)
-    y0 = np.clip(np.floor((anchors_bv[:, 1] - pc_range[1]) / voxel_size[1]
+    y0 = np.clip(np.floor((bv[:, 1] - pcr[1]) / vs[1]
                           ).astype(np.int64), 0, h - 1)
-    x1 = np.clip(np.floor((anchors_bv[:, 2] - pc_range[0]) / voxel_size[0]
+    x1 = np.clip(np.floor((bv[:, 2] - pcr[0]) / vs[0]
                           ).astype(np.int64), 0, w - 1)
-    y1 = np.clip(np.floor((anchors_bv[:, 3] - pc_range[1]) / voxel_size[1]
+    y1 = np.clip(np.floor((bv[:, 3] - pcr[1]) / vs[1]
                           ).astype(np.int64), 0, h - 1)
     area = (integral[y1, x1] - integral[y0, x1]
             - integral[y1, x0] + integral[y0, x0])

@@ -179,6 +179,13 @@ class KittiDataset:
                       img_shape=self._image_shape(sid)))
         return sample
 
+    def load_points(self, idx: int):
+        """(raw points, meta) — the device-resident serving input
+        (serve.PointsView wraps this; voxelize/plans/mask run on device)."""
+        sid, points, calib, _ = self.load_raw(idx)
+        return points, dict(sample_idx=sid, calib=calib,
+                            img_shape=self._image_shape(sid))
+
     def prepare_test(self, idx: int) -> Dict[str, np.ndarray]:
         sid, points, calib, _ = self.load_raw(idx)
         sample = self._voxelize_and_mask(points)
@@ -221,6 +228,10 @@ class ConcatDataset:
         k = int(np.searchsorted(self._offsets[1:], idx, side="right"))
         return self.datasets[k][idx - int(self._offsets[k])]
 
+    def load_points(self, idx):
+        k = int(np.searchsorted(self._offsets[1:], idx, side="right"))
+        return self.datasets[k].load_points(idx - int(self._offsets[k]))
+
 
 class RawScanDataset:
     """Inference over a directory of raw .bin scans (KittiVideo analog,
@@ -241,6 +252,11 @@ class RawScanDataset:
 
     def __len__(self):
         return len(self.files)
+
+    def load_points(self, idx):
+        points = calib_lib.read_lidar(self.files[idx])
+        return points, dict(sample_idx=idx, calib=self.calib,
+                            img_shape=self.img_shape)
 
     def __getitem__(self, idx):
         points = calib_lib.read_lidar(self.files[idx])

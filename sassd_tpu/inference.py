@@ -45,13 +45,24 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
     from sassd_tpu.train.loop import HostStager, batch_pack_layout
     logger = logger or logging.getLogger("sassd")
     anchors = jnp.asarray(dataset.anchors)
-    layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
-    step = make_test_step(cfg, anchors, packed_layout=layout)
+    src = dataset
+    if cfg.test.device_input == "points":
+        # device-resident serving: ship only raw padded points; voxelize,
+        # sparse-conv plans and the anchors mask run inside the XLA graph
+        from sassd_tpu import serve
+        src = serve.PointsView(dataset, cfg)
+        layout = batch_pack_layout(collate([src[0]] * batch_size)[0])
+        step = serve.make_serving_step(cfg, dataset.anchors,
+                                       dataset.anchors_bv,
+                                       packed_layout=layout)
+    else:
+        layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
+        step = make_test_step(cfg, anchors, packed_layout=layout)
     class_names = list(cfg.class_names)
     stager = HostStager()
     annos, ids = [], []
     for batch, metas in iterate_batches(
-            dataset, batch_size, shuffle=False, num_workers=2,
+            src, batch_size, shuffle=False, num_workers=2,
             num_shards=num_shards, shard_id=shard_id):
         dets = jax.device_get(step(params, state, stager.pack(batch, layout)))
         for i, meta in enumerate(metas):

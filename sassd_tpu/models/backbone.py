@@ -143,7 +143,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 train: bool, compute_dtype=jnp.float32,
                 dense_index: bool = True, host_plans=None,
                 dense_tail: bool = True, triple_gather: bool = True,
-                store_im2col: bool = True, flat_batch: bool = True):
+                store_im2col: bool = True, flat_batch: bool = True,
+                sorted_device_levels: bool = True):
     """Run the sparse ladder.
 
     Args:
@@ -162,6 +163,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         with batch-offset plan indices (the reference's merge_second_batch
         adapted to sorted keys; see ops/sparse.py flat-batch section)
         instead of vmapping per sample — same numerics, no batched gathers.
+      sorted_device_levels: with ON-DEVICE plans, compute downsampled
+        active sets as sort+unique (key-sorted levels) instead of the
+        sort-free scatter-max dedup, so the packed triple gathers apply
+        (3x fewer gather rows on every conv) at the cost of one XLA sort
+        per downsample. Requires keys0 to be key-sorted — both voxelizers
+        guarantee it. Ignored when host_plans is given (those levels are
+        sorted by construction).
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
        middles: list of (keys, feats, shape) per level, new_state)
@@ -171,9 +179,11 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     shape0 = sparse_shape
     m0 = keys0 != sp.INVALID_KEY
     # packed triple gathers need key-sorted level arrays — guaranteed by the
-    # host rulebook (csrc sorts levels; the voxelizer sorts level 0), not by
-    # the on-device active-set builders
-    tg = triple_gather and host_plans is not None
+    # host rulebook (csrc sorts levels; the voxelizer sorts level 0) and,
+    # when sorted_device_levels is set, by the on-device sort+unique
+    # downsampler (the voxelizers keep level 0 sorted)
+    sorted_dev = sorted_device_levels and host_plans is None
+    tg = triple_gather and (host_plans is not None or sorted_dev)
     # keep forward im2col matrices for the backward dW only when training
     # (inference never differentiates; saves the residual memory)
     sc = store_im2col and train
@@ -225,7 +235,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                                 )(host_plans[f"coords{level}"])
             plan = _host_plan(host_plans[f"stride{level}"])
         else:
-            ds = (sp.downsample_keys_dense if dense_index
+            ds = (sp.downsample_keys_dense if dense_index and not sorted_dev
                   else sp.downsample_keys)
             out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
             if imap is None:
@@ -237,11 +247,11 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         if fb:
             y = sp.subm_conv_batched(
                 x, params[pfx]["conv0"]["w"], plan, cd, symmetric=False,
-                triple=tg and host_plans is not None)
+                triple=tg)
         else:
             y = jax.vmap(lambda f, pl: sp.subm_conv(
                 f, params[pfx]["conv0"]["w"], pl, cd, symmetric=False,
-                triple=tg and host_plans is not None))(x, plan)
+                triple=tg))(x, plan)
         omask = out_keys != sp.INVALID_KEY
         y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
                              train=train, mask=omask)

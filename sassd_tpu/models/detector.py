@@ -145,7 +145,8 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         host_plans=host_plans, dense_tail=cfg.model.dense_tail,
         triple_gather=cfg.model.triple_gather,
         store_im2col=cfg.model.store_im2col,
-        flat_batch=cfg.model.flat_batch)
+        flat_batch=cfg.model.flat_batch,
+        sorted_device_levels=cfg.model.sorted_device_levels)
 
     if out_keys is None:                     # dense-tail backbone output
         b, d, h, w, c = out_feats.shape

@@ -1,0 +1,190 @@
+"""Device-resident serving: one jitted inference graph that ingests RAW
+padded point clouds.
+
+The standard inference batch ships host-built artifacts to the device:
+padded voxels + coords (~2.3 MB), the C++ sparse-conv rulebook plans
+(~5.5 MB) and the anchors mask. On well-attached hosts that is the fast
+path (the host work pipelines across loader cores and the transfer is
+~1 ms of PCIe); on degraded interconnects (networked/tunneled
+accelerators) the wire bytes dominate end-to-end latency. This module is
+the framework's own rule applied to serving — "recompute on device what
+you cannot afford to ship" (PERF.md) — as one XLA graph:
+
+    raw points [B, P, F] (~1 MB)  --h2d-->
+      voxelize_jax (key-sorted, first-come slots; ops/voxelize.py)
+      anchors-mask integral image (static per-config corner indices)
+      sparse-conv plans on device (ops/sparse.py index maps / sorted sets)
+      forward_test (models/detector.py)
+
+Reference behavior covered: the dataloader leg of tools/test.py
+(/root/reference/tools/test.py:19-94 + mmdet/datasets/kitti.py:265-354 —
+voxelize + anchors-mask happen in CPU workers there) fused into the
+device program; detections are identical to the host-pipeline path up to
+float reduction order (tests/test_serve.py).
+
+Select with `TestConfig.device_input = "points"` (tools/test.py /
+inference.run_inference honor it); `bench.py` measures both serving modes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sassd_tpu.config import SASSDConfig
+from sassd_tpu.models import detector
+from sassd_tpu.ops.voxelize import voxelize_jax
+
+
+# ---------------------------------------------------------------------------
+# anchors mask on device
+# ---------------------------------------------------------------------------
+
+def anchor_corner_indices(anchors_bv: np.ndarray, voxel_size, pc_range,
+                          grid_size) -> np.ndarray:
+    """Static per-config BEV corner cell indices [A, 4] int32 (x0, y0, x1, y1).
+
+    Exactly the quantization of the host mask (data/augment.py::
+    anchors_mask_from_coords; reference: geometry.py:684-710
+    fused_get_anchors_area) — anchors are fixed per config, so the corner
+    arithmetic leaves the per-scan graph entirely. Quantization runs in
+    FLOAT32 like the C++ kernel and the reference's float32 numpy: anchor
+    edges land exactly on voxel grid lines, where a float64 floor can
+    land one cell lower.
+    """
+    w, h = int(grid_size[0]), int(grid_size[1])
+    bv = anchors_bv.astype(np.float32)
+    pcr = np.asarray(pc_range, np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    x0 = np.clip(np.floor((bv[:, 0] - pcr[0]) / vs[0]).astype(np.int32),
+                 0, w - 1)
+    y0 = np.clip(np.floor((bv[:, 1] - pcr[1]) / vs[1]).astype(np.int32),
+                 0, h - 1)
+    x1 = np.clip(np.floor((bv[:, 2] - pcr[0]) / vs[0]).astype(np.int32),
+                 0, w - 1)
+    y1 = np.clip(np.floor((bv[:, 3] - pcr[1]) / vs[1]).astype(np.int32),
+                 0, h - 1)
+    return np.stack([x0, y0, x1, y1], axis=1)
+
+
+def anchors_mask_jax(coords_zyx: jnp.ndarray, corners: jnp.ndarray,
+                     grid_hw: Tuple[int, int], threshold: float
+                     ) -> jnp.ndarray:
+    """BEV occupancy prefilter on device: [V,3] zyx coords (-1 = padding) +
+    [A,4] static corner indices -> [A] bool.
+
+    Same integral-image semantics as the host mask (sparse_sum_for_
+    anchors_mask + fused_get_anchors_area, geometry.py:675-710): scatter
+    voxel counts into the BEV grid, 2D inclusive cumsum, 4-corner gather.
+    """
+    h, w = grid_hw
+    ok = coords_zyx[:, 0] >= 0
+    y = jnp.where(ok, coords_zyx[:, 1], h)          # padding rows -> dropped
+    x = jnp.where(ok, coords_zyx[:, 2], 0)
+    dense = jnp.zeros((h, w), jnp.float32).at[y, x].add(1.0, mode="drop")
+    integral = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
+    x0, y0, x1, y1 = corners[:, 0], corners[:, 1], corners[:, 2], corners[:, 3]
+    area = (integral[y1, x1] - integral[y0, x1]
+            - integral[y1, x0] + integral[y0, x0])
+    return area > threshold
+
+
+# ---------------------------------------------------------------------------
+# host-side input prep (the ONLY per-scan host work in this mode)
+# ---------------------------------------------------------------------------
+
+def prepare_points(points: np.ndarray, cfg: SASSDConfig,
+                   out: np.ndarray = None) -> Tuple[np.ndarray, np.int32]:
+    """Range-crop + pad a raw scan to [caps.max_points_per_scan, F] f32.
+
+    `out`: optional pre-allocated destination (pinned staging buffer —
+    reuse keeps networked PJRT clients at their bandwidth floor, PERF.md).
+    Points beyond the cap are dropped (the voxel budget saturates first:
+    max_voxels * max_num_points < the default 65536-point cap).
+    """
+    pcr = cfg.voxel.point_cloud_range
+    m = ((points[:, 0] >= pcr[0]) & (points[:, 0] < pcr[3])
+         & (points[:, 1] >= pcr[1]) & (points[:, 1] < pcr[4])
+         & (points[:, 2] >= pcr[2]) & (points[:, 2] < pcr[5]))
+    pts = points[m]
+    cap = cfg.caps.max_points_per_scan
+    n = min(len(pts), cap)
+    if out is None:
+        out = np.zeros((cap, points.shape[1]), np.float32)
+    else:
+        out[n:] = 0.0
+    out[:n] = pts[:n]
+    return out, np.int32(n)
+
+
+# ---------------------------------------------------------------------------
+# the serving step
+# ---------------------------------------------------------------------------
+
+def batch_from_points(points: jnp.ndarray, n_points: jnp.ndarray,
+                      corners: jnp.ndarray, cfg: SASSDConfig
+                      ) -> Dict[str, jnp.ndarray]:
+    """In-graph batch assembly: voxelize + anchors-mask from raw points.
+
+    points [B, P, F] f32 (zero-padded), n_points [B] int32,
+    corners [A, 4] int32 (anchor_corner_indices). Returns the standard
+    test batch dict (no plan_* keys -> the backbone builds sparse-conv
+    plans on device).
+    """
+    p = points.shape[1]
+    valid = jnp.arange(p)[None, :] < n_points[:, None]
+    voxels, coords, nums = jax.vmap(
+        lambda pt, va: voxelize_jax(pt, va, cfg.voxel))(points, valid)
+    gh, gw = int(cfg.voxel.grid_size[1]), int(cfg.voxel.grid_size[0])
+    mask = jax.vmap(lambda c: anchors_mask_jax(
+        c, corners, (gh, gw), cfg.data.anchor_area_threshold))(coords)
+    return dict(voxels=voxels, num_points=nums, coords=coords,
+                anchors_mask=mask)
+
+
+def make_serving_step(cfg: SASSDConfig, anchors_np: np.ndarray,
+                      anchors_bv_np: np.ndarray, packed_layout=None):
+    """Jitted step(params, state, batch) -> dets, where batch is
+    dict(points [B,P,F] f32, n_points [B] int32) — or the pack_batch()-ed
+    form of it when `packed_layout` is given (train.loop.batch_pack_layout;
+    one h2d buffer per dtype for networked accelerators).
+
+    The graph runs the device-plans sparse path regardless of
+    cfg.model.host_plans (there is no loader to build plans here).
+    """
+    corners = jnp.asarray(anchor_corner_indices(
+        anchors_bv_np, cfg.voxel.voxel_size, cfg.voxel.point_cloud_range,
+        cfg.voxel.grid_size))
+    anchors = jnp.asarray(anchors_np)
+
+    @jax.jit
+    def step(params, state, batch):
+        if packed_layout is not None:
+            from sassd_tpu.train.loop import unpack_batch
+            batch = unpack_batch(batch, packed_layout)
+        full = batch_from_points(batch["points"], batch["n_points"],
+                                 corners, cfg)
+        return detector.forward_test(params, state, full, anchors, cfg)
+
+    return step
+
+
+class PointsView:
+    """Dataset adapter for device-resident serving: wraps any dataset with a
+    `load_points(idx) -> (points, meta)` method and yields
+    dict(points [P,F] f32, n_points int32, meta) samples — the loader's
+    whole per-scan job in this mode is a range crop + pad."""
+
+    def __init__(self, dataset, cfg: SASSDConfig):
+        self.dataset = dataset
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        points, meta = self.dataset.load_points(idx)
+        pts, n = prepare_points(points, self.cfg)
+        return dict(points=pts, n_points=np.asarray(n), meta=meta)
