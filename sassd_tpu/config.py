@@ -111,6 +111,18 @@ class ModelConfig:
                                        # downsample. Requires key-sorted
                                        # input voxels — both voxelizers
                                        # (ops/voxelize.py) guarantee it
+    aux_interp: str = "ring"           # aux-branch 3-NN candidate source:
+                                       # "ring" = 3x3x3 neighborhood of the
+                                       # query's parent cell (the host
+                                       # rulebook's aux plans, or
+                                       # sparse.build_aux_plan on device;
+                                       # >97% agreement with exact, ~5x
+                                       # cheaper) | "exact" = brute-force
+                                       # chunked-MXU 3-NN over the whole
+                                       # level (the reference's
+                                       # interpolate_gpu.cu semantics
+                                       # exactly). A/B quantified in
+                                       # VALIDATION.md (round 4).
     store_im2col: bool = False         # keep each conv's forward im2col as
                                        # a VJP residual so the backward dW
                                        # needs no recompute gather.

@@ -144,7 +144,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 dense_index: bool = True, host_plans=None,
                 dense_tail: bool = True, triple_gather: bool = True,
                 store_im2col: bool = True, flat_batch: bool = True,
-                sorted_device_levels: bool = True):
+                sorted_device_levels: bool = True,
+                want_aux_plans: bool = False):
     """Run the sparse ladder.
 
     Args:
@@ -170,9 +171,15 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         per downsample. Requires keys0 to be key-sorted — both voxelizers
         guarantee it. Ignored when host_plans is given (those levels are
         sorted by construction).
+      want_aux_plans: with ON-DEVICE plans at train time, also build the
+        aux-branch ring 3-NN plans (sparse.build_aux_plan) from the
+        per-level dense index maps and return them as a SIXTH element
+        {aux1,aux2,aux3: [B,27,M0]} — the device analog of the host
+        rulebook's aux plans.
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
-       middles: list of (keys, feats, shape) per level, new_state)
+       middles: list of (keys, feats, shape) per level, new_state
+       [, aux_plans when want_aux_plans])
     """
     cd = compute_dtype
     new_state = {}
@@ -211,29 +218,18 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
 
     def down(level, pfx, keys, x, shape, cap, mask, imap):
         out_shape = sp.out_shape_stride2(shape)
+        imap_out = None
         if host_plans is not None and f"strideT{level}" in host_plans:
             # gather-based backward via the host transpose plan
             out_keys = jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
                                 )(host_plans[f"coords{level}"])
             plan = _host_plan(host_plans[f"stride{level}"])
             planT = _host_plan(host_plans[f"strideT{level}"])
-            if fb:
-                y = sp.stride_conv_hostT_batched(
-                    cd, tg, sc, x, params[pfx]["conv0"]["w"], plan, planT)
-            else:
-                y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
-                    cd, tg, sc, f, params[pfx]["conv0"]["w"], i, fo, iT, foT)
-                    )(x, plan.idx, plan.found, planT.idx, planT.found)
-            omask = out_keys != sp.INVALID_KEY
-            y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
-                                 train=train, mask=omask)
-            y = L.relu(y) * omask[..., None]
-            new_state[pfx] = {"bn0": bs}
-            return out_keys, y, out_shape, omask
-        if host_plans is not None:
+        elif host_plans is not None:
             out_keys = jax.vmap(lambda c: sp.coords_to_keys(c, out_shape)
                                 )(host_plans[f"coords{level}"])
             plan = _host_plan(host_plans[f"stride{level}"])
+            planT = None
         else:
             ds = (sp.downsample_keys_dense if dense_index and not sorted_dev
                   else sp.downsample_keys)
@@ -241,10 +237,26 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             if imap is None:
                 plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(
                     ik, ok, shape))(keys, out_keys)
+                planT = None
             else:
                 plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
                     ik, ok, shape, index_map=im))(keys, out_keys, imap)
-        if fb:
+                imap_out = index_map(out_keys, out_shape)
+                # device TRANSPOSE plan: only the backward consumes it, so
+                # inference graphs skip the build entirely
+                planT = None
+                if train:
+                    planT = jax.vmap(lambda ik, om: sp.build_stride_plan_T(
+                        ik, shape, om))(keys, imap_out)
+        if planT is not None:
+            if fb:
+                y = sp.stride_conv_hostT_batched(
+                    cd, tg, sc, x, params[pfx]["conv0"]["w"], plan, planT)
+            else:
+                y = jax.vmap(lambda f, i, fo, iT, foT: sp.stride_conv_hostT(
+                    cd, tg, sc, f, params[pfx]["conv0"]["w"], i, fo, iT, foT)
+                    )(x, plan.idx, plan.found, planT.idx, planT.found)
+        elif fb:
             y = sp.subm_conv_batched(
                 x, params[pfx]["conv0"]["w"], plan, cd, symmetric=False,
                 triple=tg)
@@ -257,29 +269,47 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                              train=train, mask=omask)
         y = L.relu(y) * omask[..., None]
         new_state[pfx] = {"bn0": bs}
-        return out_keys, y, out_shape, omask
+        return out_keys, y, out_shape, omask, imap_out
 
-    keys1, x, shape1, m1 = down(1, "down0", keys0, x, shape0, level_caps[1],
-                                m0, imap0)
-    imap1 = index_map(keys1, shape1)
+    keys1, x, shape1, m1, imap1 = down(1, "down0", keys0, x, shape0,
+                                       level_caps[1], m0, imap0)
+    if imap1 is None:
+        imap1 = index_map(keys1, shape1)
     plan1 = subm_plan(1, keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
         params["conv1"], state["conv1"], x, plan1, m1, train, cd, triple=tg,
         store_col=sc, flat=fb)
     mid0 = (keys1, x, shape1)
 
-    keys2, x, shape2, m2 = down(2, "down1", keys1, x, shape1, level_caps[2],
-                                m1, imap1)
-
-    imap2 = index_map(keys2, shape2)
+    keys2, x, shape2, m2, imap2 = down(2, "down1", keys1, x, shape1,
+                                       level_caps[2], m1, imap1)
+    if imap2 is None:
+        imap2 = index_map(keys2, shape2)
     plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
         params["conv2"], state["conv2"], x, plan2, m2, train, cd, triple=tg,
         store_col=sc, flat=fb)
     mid1 = (keys2, x, shape2)
 
-    keys3, x, shape3, m3 = down(3, "down2", keys2, x, shape2, level_caps[3],
-                                m2, imap2)
+    keys3, x, shape3, m3, imap3 = down(3, "down2", keys2, x, shape2,
+                                       level_caps[3], m2, imap2)
+
+    aux_plans = {}
+    if want_aux_plans and train and host_plans is None:
+        if imap3 is None:
+            imap3 = index_map(keys3, shape3)
+        if imap1 is not None:
+            coords0 = jax.vmap(
+                lambda k: sp.keys_to_coords(k, sparse_shape))(keys0)
+            for lvl, (im, shp) in enumerate(
+                    [(imap1, shape1), (imap2, shape2), (imap3, shape3)],
+                    start=1):
+                aux_plans[f"aux{lvl}"] = jax.vmap(
+                    lambda c, m, _s=shp, _l=lvl: sp.build_aux_plan(
+                        c, _l, m, _s))(coords0, im)
+
+    def _ret(*core):
+        return core + ((aux_plans,) if want_aux_plans else ())
 
     if dense_tail:
         # Level 3 as MASKED DENSE convs. The grid is tiny ([5,200,176] for
@@ -354,9 +384,10 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         else:
             mid2 = None
         middles = [mid0, mid1, mid2] if train else [mid0, mid1, None]
-        return None, out_dense, shape3, middles, new_state
+        return _ret(None, out_dense, shape3, middles, new_state)
 
-    imap3 = index_map(keys3, shape3)
+    if imap3 is None:
+        imap3 = index_map(keys3, shape3)
     plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
         params["conv3"], state["conv3"], x, plan3, m3, train, cd, triple=tg,
@@ -370,7 +401,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     x = L.relu(x) * m3[..., None]
     new_state["extra"] = {"bn0": bs}
 
-    return keys3, x, shape3, [mid0, mid1, mid2], new_state
+    return _ret(keys3, x, shape3, [mid0, mid1, mid2], new_state)
 
 
 def _gather_mid(keys, dense, shape):

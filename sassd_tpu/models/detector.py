@@ -138,7 +138,10 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         host_plans = {k[len("plan_"):]: v for k, v in batch.items()
                       if k.startswith("plan_")}
 
-    out_keys, out_feats, out_shape, middles, vx_state = backbone.vxnet_apply(
+    want_aux = (train and host_plans is None
+                and cfg.model.aux_interp == "ring")
+    (out_keys, out_feats, out_shape, middles, vx_state,
+     *dev_aux) = backbone.vxnet_apply(
         params["vxnet"], state["vxnet"], keys, vfe,
         sparse_shape=cfg.sparse_shape, level_caps=cfg.caps.level_caps,
         train=train, compute_dtype=cd, dense_index=cfg.model.dense_index,
@@ -146,7 +149,8 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         triple_gather=cfg.model.triple_gather,
         store_im2col=cfg.model.store_im2col,
         flat_batch=cfg.model.flat_batch,
-        sorted_device_levels=cfg.model.sorted_device_levels)
+        sorted_device_levels=cfg.model.sorted_device_levels,
+        want_aux_plans=want_aux)
 
     if out_keys is None:                     # dense-tail backbone output
         b, d, h, w, c = out_feats.shape
@@ -169,9 +173,12 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
     if vfe_state:
         new_state["vfe"] = vfe_state
     aux_plans = {}
-    if host_plans is not None:
-        aux_plans = {k: v for k, v in host_plans.items()
-                     if k.startswith("aux")}
+    if cfg.model.aux_interp == "ring":
+        if host_plans is not None:
+            aux_plans = {k: v for k, v in host_plans.items()
+                         if k.startswith("aux")}
+        elif dev_aux:
+            aux_plans = dev_aux[0]
     return SpineOut(bev_map, conv6, middles, points_mean, points_valid,
                     new_state, aux_plans, coords0)
 

@@ -81,22 +81,29 @@ def valid_mask(keys: jnp.ndarray) -> jnp.ndarray:
     return keys != INVALID_KEY
 
 
-def build_index_map(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int]
-                    ) -> jnp.ndarray:
-    """Dense [D*H*W] int32 map: linear key -> row in the level arrays (-1 = empty).
+def build_index_map(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
+                    dtype=None) -> jnp.ndarray:
+    """Dense [D*H*W] map: linear key -> row in the level arrays (-1 = empty).
 
     One scatter builds the map; every neighbor lookup afterwards is a single
     gather — ~15x fewer memory passes than binary search over sorted keys.
     This is the TPU analog of spconv's GPU hash table: HBM is large enough to
     hold the dense grid (the full-res KITTI grid is 90M cells = 360 MB,
     transient), and a dense scatter/gather needs no atomics.
+
+    dtype: int16 halves the map-build and window-table HBM traffic when the
+    level cap fits (rows < 32768) but MEASURED SLOWER on v5e (46.1 vs 43.5
+    ms full serving graph — sub-word scatter/gather pays more than the
+    traffic saves); int32 stays the default.
     """
     d, h, w = shape_zyx
     total = d * h * w
+    if dtype is None:
+        dtype = jnp.int32
     ok = keys != INVALID_KEY
-    dense = jnp.full((total,), -1, jnp.int32)
+    dense = jnp.full((total,), -1, dtype)
     idx = jnp.where(ok, keys, total)
-    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    rows = jnp.arange(keys.shape[0], dtype=dtype)
     return dense.at[idx].set(rows, mode="drop")
 
 
@@ -107,9 +114,34 @@ def lookup_dense(index_map: jnp.ndarray, queries: jnp.ndarray):
     total = index_map.shape[0]
     q = jnp.where((queries >= 0) & (queries < total)
                   & (queries != INVALID_KEY), queries, 0)
-    rows = index_map[q]
+    rows = index_map[q].astype(jnp.int32)
     found = (rows >= 0) & (queries != INVALID_KEY)
     return jnp.maximum(rows, 0), found
+
+
+def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray):
+    """Gather index_map[start + j] for j=0..2 as ONE slice-3 gather per row.
+
+    XLA TPU gather cost is per-row and width-independent (PERF.md), and the
+    3 x-consecutive taps of a kernel (dz, dy) group query 3 CONSECUTIVE
+    linear keys — so one windowed gather resolves the whole group, cutting
+    every plan build's gather rows 3x (the plan-construction analog of
+    gather_im2col_triple). Out-of-range window cells read the -1 padding;
+    the caller masks per-tap validity (an out-of-grid x tap aliases a
+    neighboring y-row's cell, so arithmetic in-bounds masks are REQUIRED).
+
+    Returns rows [..., 3] (clipped >= 0) and raw found [..., 3].
+    """
+    total = index_map.shape[0]
+    pad = jnp.full((2,), -1, index_map.dtype)
+    p = jnp.concatenate([pad[:1], index_map, pad])     # [total + 3]
+    # materialized [total+1, 3] window table + 2-D row gather — the
+    # per-row width-independent gather form (PERF.md); a vmapped
+    # dynamic_slice(3) lowers to a slow strided-slice gather on TPU
+    t = jnp.stack([p[:-2], p[1:-1], p[2:]], axis=-1)   # [total + 1, 3]
+    s = jnp.clip(start + 1, 0, total)                  # row stays in range
+    rows = t[s.reshape(-1)].reshape(start.shape + (3,))
+    return jnp.maximum(rows, 0), rows >= 0
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +160,55 @@ def _offsets(kernel: int = 3) -> np.ndarray:
     return off  # [K, 3] (dz, dy, dx), row-major
 
 
+_DZDY = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing="ij"),
+                 -1).reshape(-1, 2).astype(np.int32)          # [9, 2]
+
+# Windowed (slice-3) plan lookups vs one gather row per tap. Module-level so
+# perf ablations (tools/profile_serve.py) can flip it; semantics identical.
+import os as _os
+USE_WINDOW_PLANS = _os.environ.get("SASSD_WINDOW_PLANS", "1") != "0"
+
+
+def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
+                 index_map: jnp.ndarray) -> SubmPlan:
+    """27-tap plan (taps = base + off, (dz,dy,dx) row-major) via 9 windowed
+    slice-3 gathers instead of 27 single-row gathers (lookup_dense3).
+
+    base_coords [M, 3] zyx; rows with z < 0 are padding. The per-tap
+    x-bounds masks are mandatory: the window cells of an out-of-grid x tap
+    alias the neighboring y-row.
+    """
+    d, h, w = shape_zyx
+    z, y, x = base_coords[:, 0], base_coords[:, 1], base_coords[:, 2]
+    dz = jnp.asarray(_DZDY[:, 0])[:, None]                    # [9, 1]
+    dy = jnp.asarray(_DZDY[:, 1])[:, None]
+    zq, yq = z[None] + dz, y[None] + dy                       # [9, M]
+    gok = ((z >= 0) & (x >= 0) & (x < w))[None] \
+        & (zq >= 0) & (zq < d) & (yq >= 0) & (yq < h)
+    qmid = (zq * h + yq) * w + x[None]
+    rows3, fw = lookup_dense3(index_map, qmid - 1)            # [9, M, 3]
+    f0 = fw[..., 0] & gok & (x >= 1)[None]
+    f1 = fw[..., 1] & gok
+    f2 = fw[..., 2] & gok & (x + 1 < w)[None]
+    found = jnp.stack([f0, f1, f2], axis=1)                   # [9, 3, M]
+    idx = jnp.transpose(rows3, (0, 2, 1))                     # [9, 3, M]
+    m = base_coords.shape[0]
+    return SubmPlan(idx.reshape(27, m).astype(jnp.int32),
+                    found.reshape(27, m))
+
+
 def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
                     kernel: int = 3, index_map: jnp.ndarray = None
                     ) -> SubmPlan:
     """Neighbor indices for a submanifold conv at this level (built once,
     reused by every subm conv with the same level — spconv indice_key).
 
-    With `index_map` (see build_index_map) resolution is one dense gather;
-    otherwise binary search over the sorted keys."""
+    With `index_map` (see build_index_map) resolution is one windowed dense
+    gather per (dz, dy) tap group; otherwise binary search over the sorted
+    keys."""
+    if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
+        return _window_plan(keys_to_coords(keys, shape_zyx), shape_zyx,
+                            index_map)
     d, h, w = shape_zyx
     coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
@@ -414,6 +487,10 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
     d, h, w = in_shape
     out_sh = out_shape_stride2(in_shape)
     ocoords = keys_to_coords(out_keys, out_sh)                # [Mo, 3]
+    if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
+        # base = 2*o: the x taps query 2x-1, 2x, 2x+1 — consecutive keys,
+        # so the windowed lookup applies unchanged (pad rows: 2*(-1) < 0)
+        return _window_plan(2 * ocoords, in_shape, index_map)
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
     icoords = 2 * ocoords[None, :, :] + off[:, None, :]       # [K, Mo, 3]
     inb = jnp.all((icoords >= 0) & (icoords < jnp.asarray([d, h, w], jnp.int32)),
@@ -427,6 +504,68 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
         idx, found = lookup(in_keys, q.reshape(-1))
     k = off.shape[0]
     return SubmPlan(idx.reshape(k, -1), found.reshape(k, -1))
+
+
+def build_stride_plan_T(in_keys: jnp.ndarray,
+                        in_shape: Tuple[int, int, int],
+                        out_index_map: jnp.ndarray) -> SubmPlan:
+    """TRANSPOSE plan of a stride-2 k3 p1 conv, built ON DEVICE.
+
+    For each INPUT voxel with coordinate c and tap offset off_k, the output
+    cell is (c - off_k)/2 when every dim is parity-aligned, on-grid and
+    active — the plan the gather-based backward of stride_conv_hostT needs
+    (host analog: csrc stride_plan_T). Layout [27, M_in] in (dz,dy,dx)
+    row-major tap order, identical to the host plan, so the
+    gather_im2col_strideT3 packing applies unchanged.
+
+    Per (dz, dy) group the valid x taps query coarse cells (x+1)/2, x/2,
+    (x-1)/2 — all inside the 3-window starting at (x-1)//2 — so one
+    windowed gather per group resolves every tap (lookup_dense3).
+    """
+    od, oh, ow = out_shape_stride2(in_shape)
+    coords = keys_to_coords(in_keys, in_shape)                # [M, 3]
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    dz = jnp.asarray(_DZDY[:, 0])[:, None]                    # [9, 1]
+    dy = jnp.asarray(_DZDY[:, 1])[:, None]
+    cz, cy = z[None] - dz, y[None] - dy                       # [9, M]
+    gok = ((z >= 0)[None]
+           & (cz % 2 == 0) & (cz >= 0) & (cz // 2 < od)
+           & (cy % 2 == 0) & (cy >= 0) & (cy // 2 < oh))
+    s = (x - 1) // 2                                          # window start
+    qstart = ((cz // 2) * oh + (cy // 2)) * ow + s[None]
+    rows3, fw = lookup_dense3(out_index_map, qstart)          # [9, M, 3]
+    taps_idx, taps_found = [], []
+    for dx in (-1, 0, 1):
+        cx = x - dx
+        okx = (cx % 2 == 0) & (cx >= 0) & (cx // 2 < ow)
+        rel = cx // 2 - s                                     # [M] in {0,1,2}
+        r = jnp.where(rel[None] == 0, rows3[..., 0],
+                      jnp.where(rel[None] == 1, rows3[..., 1],
+                                rows3[..., 2]))
+        f = jnp.where(rel[None] == 0, fw[..., 0],
+                      jnp.where(rel[None] == 1, fw[..., 1], fw[..., 2]))
+        taps_idx.append(r)
+        taps_found.append(f & gok & okx[None])
+    m = coords.shape[0]
+    idx = jnp.stack(taps_idx, axis=1).reshape(27, m)          # [9,3,M]->[27,M]
+    found = jnp.stack(taps_found, axis=1).reshape(27, m)
+    return SubmPlan(idx.astype(jnp.int32), found)
+
+
+def build_aux_plan(cell0_zyx: jnp.ndarray, level: int,
+                   level_index_map: jnp.ndarray,
+                   level_shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Aux-branch ring 3-NN candidate plan, built ON DEVICE.
+
+    [M0, 3] level-0 zyx cells (-1 = padding) -> [27, M0] int32 rows of the
+    3x3x3 neighborhood of (cell0 >> level) in the level's arrays, -1 =
+    missing — the host rulebook's aux{L} plan format (ops/native.py), tap
+    order = interpolate._offsets27. Consumed by
+    interpolate.neighborhood_interpolate_cells.
+    """
+    parent = cell0_zyx >> level                               # -1 stays -1
+    plan = _window_plan(parent, level_shape, level_index_map)
+    return jnp.where(plan.found, plan.idx, -1)
 
 
 def stride_conv(in_keys: jnp.ndarray, feats: jnp.ndarray, weight: jnp.ndarray,

@@ -1,0 +1,166 @@
+"""Round-4 device-plan features: windowed dense lookups, the on-device
+transpose stride plan (gather-based backward), and on-device aux ring plans.
+
+Oracles: the legacy binary-search/per-tap-gather plan builders, jax autodiff
+through the plain (scatter-add) stride conv, the C++ host rulebook, and the
+host-plans end-to-end training gradient.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sassd_tpu.models import backbone, detector
+from sassd_tpu.ops import native
+from sassd_tpu.ops import sparse as sp
+from tiny_config import tiny_config
+
+
+def random_keys(rng, shape_zyx, n, cap, edge_bias=True):
+    """Sorted active keys, biased to include grid-boundary cells (the
+    windowed lookup's x-wrap hazard lives at x=0 / x=w-1)."""
+    d, h, w = shape_zyx
+    total = d * h * w
+    lin = rng.choice(total, n, replace=False)
+    if edge_bias:
+        # force some boundary-x cells
+        z = rng.integers(0, d, 8)
+        y = rng.integers(0, h, 8)
+        x = np.concatenate([np.zeros(4, np.int64), np.full(4, w - 1)])
+        lin = np.unique(np.concatenate([lin, (z * h + y) * w + x]))[:n]
+    keys = np.full((cap,), sp.INVALID_KEY, np.int32)
+    keys[:len(lin)] = np.sort(lin).astype(np.int32)
+    return jnp.asarray(keys)
+
+
+def test_window_subm_plan_matches_legacy():
+    shape = (6, 10, 9)   # odd W exercises the x=w-1 edge
+    rng = np.random.default_rng(0)
+    keys = random_keys(rng, shape, 50, 64)
+    imap = sp.build_index_map(keys, shape)
+    win = sp.build_subm_plan(keys, shape, index_map=imap)
+    legacy = sp.build_subm_plan(keys, shape)     # binary search
+    np.testing.assert_array_equal(np.asarray(win.found),
+                                  np.asarray(legacy.found))
+    wi, li = np.asarray(win.idx), np.asarray(legacy.idx)
+    f = np.asarray(legacy.found)
+    np.testing.assert_array_equal(wi[f], li[f])
+
+
+def test_window_stride_plan_matches_legacy():
+    shape = (6, 10, 9)
+    rng = np.random.default_rng(1)
+    keys = random_keys(rng, shape, 50, 64)
+    out_keys = sp.downsample_keys(keys, shape, 48)
+    imap = sp.build_index_map(keys, shape)
+    win = sp.build_stride_plan(keys, out_keys, shape, index_map=imap)
+    legacy = sp.build_stride_plan(keys, out_keys, shape)
+    np.testing.assert_array_equal(np.asarray(win.found),
+                                  np.asarray(legacy.found))
+    f = np.asarray(legacy.found)
+    np.testing.assert_array_equal(np.asarray(win.idx)[f],
+                                  np.asarray(legacy.idx)[f])
+
+
+def test_device_strideT_backward_matches_autodiff():
+    """stride_conv_hostT with a DEVICE-built transpose plan == jax autodiff
+    through the plain gather-GEMM stride conv, for d_feats and d_weight."""
+    shape = (6, 10, 8)
+    rng = np.random.default_rng(2)
+    keys = random_keys(rng, shape, 60, 64)
+    out_keys = sp.downsample_keys(keys, shape, 48)
+    imap = sp.build_index_map(keys, shape)
+    plan = sp.build_stride_plan(keys, out_keys, shape, index_map=imap)
+    out_shape = sp.out_shape_stride2(shape)
+    omap = sp.build_index_map(out_keys, out_shape)
+    planT = sp.build_stride_plan_T(keys, shape, omap)
+
+    feats = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+    feats = feats * (keys != sp.INVALID_KEY)[:, None]
+    weight = jnp.asarray(rng.normal(size=(27, 4, 5)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(48, 5)).astype(np.float32))
+
+    def loss_plain(f, w):
+        y = sp.subm_conv(f, w, plan, symmetric=False)
+        return jnp.sum(y * cot)
+
+    def loss_T(f, w):
+        y = sp.stride_conv_hostT(jnp.float32, False, False, f, w,
+                                 plan.idx, plan.found, planT.idx, planT.found)
+        return jnp.sum(y * cot)
+
+    gf0, gw0 = jax.grad(loss_plain, argnums=(0, 1))(feats, weight)
+    gf1, gw1 = jax.grad(loss_T, argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gf0), np.asarray(gf1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_device_aux_plan_matches_host():
+    """Device-built aux ring plans == the C++ rulebook's, as key maps."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(3)
+    d, h, w = cfg.sparse_shape
+    n = 40
+    lin = np.sort(rng.choice(d * h * w, n, replace=False))
+    cap = cfg.voxel.max_voxels
+    coords = np.full((cap, 3), -1, np.int32)
+    coords[:n, 0] = lin // (h * w)
+    coords[:n, 1] = (lin // w) % h
+    coords[:n, 2] = lin % w
+    plans = native.build_plans_cpp(coords, cfg.sparse_shape,
+                                   cfg.caps.level_caps, train=True)
+
+    keys0 = sp.coords_to_keys(jnp.asarray(coords), cfg.sparse_shape)
+    cell0 = jnp.asarray(coords)
+    keys, shape = keys0, cfg.sparse_shape
+    for lvl in (1, 2, 3):
+        keys = sp.downsample_keys(keys, shape, cfg.caps.level_caps[lvl])
+        shape = sp.out_shape_stride2(shape)
+        imap = sp.build_index_map(keys, shape)
+        dev = np.asarray(sp.build_aux_plan(cell0, lvl, imap, shape))
+        host = plans[f"aux{lvl}"]
+        # compare as KEYS (row spaces may order differently)
+        dev_k = np.where(dev >= 0, np.asarray(keys)[np.maximum(dev, 0)], -1)
+        hk = np.asarray(sp.coords_to_keys(
+            jnp.asarray(plans[f"coords{lvl}"]), shape))
+        host_k = np.where(host >= 0, hk[np.maximum(host, 0)], -1)
+        np.testing.assert_array_equal(dev_k[:, :n], host_k[:, :n])
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_train_gradients_device_plans_match_host_plans():
+    """End-to-end: grad of the total train loss under DEVICE plans (windowed
+    lookups + device strideT + device aux ring plans) == under HOST plans."""
+    cfg = tiny_config()
+    from sassd_tpu.data.synthetic import make_random_batch
+    from sassd_tpu.data.kitti import build_anchors
+
+    rng = np.random.default_rng(4)
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, rng, batch_size=1, n_points=400).items()}
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+
+    host_batch = batch
+    dev_batch = {k: v for k, v in batch.items()
+                 if not k.startswith("plan_")}
+
+    def total(p, b):
+        losses, _ = detector.forward_train(p, state, b, anchors, cfg)
+        return detector.parse_losses(losses)[0]
+
+    lh = float(total(params, host_batch))
+    ld = float(total(params, dev_batch))
+    np.testing.assert_allclose(ld, lh, rtol=2e-4)
+    gh = jax.grad(total)(params, host_batch)
+    gd = jax.grad(total)(params, dev_batch)
+    flat_h = jax.tree_util.tree_leaves(gh)
+    flat_d = jax.tree_util.tree_leaves(gd)
+    for a, b in zip(flat_h, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--batch_sizes", default="1,2,4")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--flat_batch", type=int, default=1)
+    ap.add_argument("--host_plans", type=int, default=1,
+                    help="0 = build sparse-conv plans in the XLA graph")
+    ap.add_argument("--config", default="car", choices=["car", "multi"])
+    ap.add_argument("--aux_interp", default=None, choices=["ring", "exact"])
     args = ap.parse_args()
 
     import jax
@@ -32,17 +36,24 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    from sassd_tpu.config import car_config
+    from sassd_tpu.config import car_config, multi_config
     from sassd_tpu.data.kitti import build_anchors
     from sassd_tpu.data.synthetic import make_random_batch
     from sassd_tpu.models import detector
     from sassd_tpu.train import loop, optim
 
     print(jax.devices(), flush=True)
-    cfg = car_config()
+    cfg = car_config() if args.config == "car" else multi_config()
+    model_updates = {}
     if not args.flat_batch:
+        model_updates["flat_batch"] = False
+    if not args.host_plans:
+        model_updates["host_plans"] = False
+    if args.aux_interp:
+        model_updates["aux_interp"] = args.aux_interp
+    if model_updates:
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, flat_batch=False))
+            cfg, model=dataclasses.replace(cfg.model, **model_updates))
     anchors = jnp.asarray(build_anchors(cfg)[0])
     params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
     tx = optim.make_optimizer(cfg.train, total_steps=1000)
