@@ -145,7 +145,9 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 dense_tail: bool = True, triple_gather: bool = True,
                 store_im2col: bool = True, flat_batch: bool = True,
                 sorted_device_levels: bool = True,
-                want_aux_plans: bool = False):
+                want_aux_plans: bool = False,
+                bn_owned_y: Tuple[int, int] = None,
+                y_top=None):
     """Run the sparse ladder.
 
     Args:
@@ -176,6 +178,17 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         per-level dense index maps and return them as a SIXTH element
         {aux1,aux2,aux3: [B,27,M0]} — the device analog of the host
         rulebook's aux plans.
+      bn_owned_y: optional (lo, hi) level-0 y-cell range (in THIS grid's
+        coordinates): BatchNorm statistics are computed only over active
+        cells with y in [lo >> L, hi >> L) at each level. Used by the
+        banded spatial sharding (parallel/sparse_spatial.py) so halo
+        cells — duplicated across bands — are counted once globally;
+        features and gathers are unaffected.
+      y_top: optional [B] int32 — exclusive level-0 y bound of the REAL
+        (global) grid in this grid's coordinates, per sample. Downsampling
+        clips its round-up candidates there, so a banded grid that extends
+        past the global top edge keeps the replicated run's boundary
+        semantics (sparse._downsample_candidates).
     Returns:
       (out_keys [B,M3], out_feats [B,M3,64], out_shape,
        middles: list of (keys, feats, shape) per level, new_state
@@ -185,6 +198,15 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     new_state = {}
     shape0 = sparse_shape
     m0 = keys0 != sp.INVALID_KEY
+
+    def bn_mask(base, keys, shape, shift):
+        """Restrict a BN statistics mask to band-owned y cells (no-op when
+        bn_owned_y is unset)."""
+        if bn_owned_y is None:
+            return base
+        lo, hi = bn_owned_y[0] >> shift, bn_owned_y[1] >> shift
+        y = (keys // shape[2]) % shape[1]
+        return base & (y >= lo) & (y < hi)
     # packed triple gathers need key-sorted level arrays — guaranteed by the
     # host rulebook (csrc sorts levels; the voxelizer sorts level 0) and,
     # when sorted_device_levels is set, by the on-device sort+unique
@@ -213,7 +235,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     imap0 = index_map(keys0, shape0)
     plan0 = subm_plan(0, keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
-        params["conv0"], state["conv0"], feats0, plan0, m0, train, cd,
+        params["conv0"], state["conv0"], feats0, plan0,
+        bn_mask(m0, keys0, shape0, 0), train, cd,
         triple=tg, store_col=sc, flat=fb)
 
     def down(level, pfx, keys, x, shape, cap, mask, imap):
@@ -233,7 +256,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         else:
             ds = (sp.downsample_keys_dense if dense_index and not sorted_dev
                   else sp.downsample_keys)
-            out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
+            if y_top is None:
+                out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
+            else:
+                out_keys = jax.vmap(
+                    lambda k, yt: ds(k, shape, cap,
+                                     y_limit_out=yt >> level)
+                )(keys, y_top)
             if imap is None:
                 plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(
                     ik, ok, shape))(keys, out_keys)
@@ -266,7 +295,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 triple=tg))(x, plan)
         omask = out_keys != sp.INVALID_KEY
         y, bs = L.batch_norm(params[pfx]["bn0"], state[pfx]["bn0"], y,
-                             train=train, mask=omask)
+                             train=train,
+                             mask=bn_mask(omask, out_keys, out_shape, level))
         y = L.relu(y) * omask[..., None]
         new_state[pfx] = {"bn0": bs}
         return out_keys, y, out_shape, omask, imap_out
@@ -277,7 +307,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         imap1 = index_map(keys1, shape1)
     plan1 = subm_plan(1, keys1, shape1, imap1)
     x, new_state["conv1"] = _subm_block(
-        params["conv1"], state["conv1"], x, plan1, m1, train, cd, triple=tg,
+        params["conv1"], state["conv1"], x, plan1,
+        bn_mask(m1, keys1, shape1, 1), train, cd, triple=tg,
         store_col=sc, flat=fb)
     mid0 = (keys1, x, shape1)
 
@@ -287,7 +318,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         imap2 = index_map(keys2, shape2)
     plan2 = subm_plan(2, keys2, shape2, imap2)
     x, new_state["conv2"] = _subm_block(
-        params["conv2"], state["conv2"], x, plan2, m2, train, cd, triple=tg,
+        params["conv2"], state["conv2"], x, plan2,
+        bn_mask(m2, keys2, shape2, 2), train, cd, triple=tg,
         store_col=sc, flat=fb)
     mid1 = (keys2, x, shape2)
 
@@ -329,6 +361,11 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         xf = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
             b, shape3[1], shape3[2], -1)
         occ_f = jnp.transpose(occ3, (0, 2, 3, 1))              # [B,H,W,D]
+        occ_bn = occ_f
+        if bn_owned_y is not None:
+            yr = jnp.arange(shape3[1])
+            own3 = (yr >= (bn_owned_y[0] >> 3)) & (yr < (bn_owned_y[1] >> 3))
+            occ_bn = occ_f & own3[None, :, None, None]
 
         def zbanded(w27):                                      # -> [3,3,DC,DC]
             k, cin, cout = w27.shape
@@ -357,7 +394,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 x5 = xf.reshape(b, shape3[1], shape3[2], d3, cdim)
                 x5 = x5 * occ_f[..., None]
                 x5, bs[f"bn{i}"] = L.batch_norm(
-                    p[f"bn{i}"], s[f"bn{i}"], x5, train=train, mask=occ_f)
+                    p[f"bn{i}"], s[f"bn{i}"], x5, train=train, mask=occ_bn)
                 x5 = L.relu(x5) * occ_f[..., None]
                 xf = x5.reshape(b, shape3[1], shape3[2], -1)
             new_state[prefix] = bs
@@ -371,7 +408,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                      preferred_element_type=jnp.float32)
         x5 = x5 * occ_f[..., None]
         x5, bs = L.batch_norm(params["extra"]["bn0"], state["extra"]["bn0"],
-                              x5, train=train, mask=occ_f)
+                              x5, train=train, mask=occ_bn)
         x5 = L.relu(x5) * occ_f[..., None]
         new_state["extra"] = {"bn0": bs}
         out_dense = jnp.transpose(x5, (0, 3, 1, 2, 4))         # [B,D,H,W,C]
@@ -390,14 +427,15 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         imap3 = index_map(keys3, shape3)
     plan3 = subm_plan(3, keys3, shape3, imap3)
     x, new_state["conv3"] = _subm_block(
-        params["conv3"], state["conv3"], x, plan3, m3, train, cd, triple=tg,
+        params["conv3"], state["conv3"], x, plan3,
+        bn_mask(m3, keys3, shape3, 3), train, cd, triple=tg,
         store_col=sc, flat=fb)
     mid2 = (keys3, x, shape3)
 
     # extra_conv: 1x1x1 SparseConv3d + BN + ReLU (cmn.py:208-212)
     x = jax.vmap(lambda f: sp.conv1x1(f, params["extra"]["conv0"]["w"], cd))(x)
     x, bs = L.batch_norm(params["extra"]["bn0"], state["extra"]["bn0"], x,
-                         train=train, mask=m3)
+                         train=train, mask=bn_mask(m3, keys3, shape3, 3))
     x = L.relu(x) * m3[..., None]
     new_state["extra"] = {"bn0": bs}
 

@@ -230,9 +230,12 @@ def aux_forward(params, spine: SpineOut, cfg: SASSDConfig):
 
 
 def aux_loss(point_cls, point_reg, spine: SpineOut, batch,
-             ) -> Dict[str, jnp.ndarray]:
-    """Point segmentation + center-offset regression loss (cmn.py:72-100)."""
-    b = batch["gt_boxes"].shape[0]
+             denom: int = None) -> Dict[str, jnp.ndarray]:
+    """Point segmentation + center-offset regression loss (cmn.py:72-100).
+
+    denom: batch-size divisor override — the banded spatial sharding feeds
+    S*B per-band rows but normalizes by the true batch size B."""
+    b = denom if denom is not None else batch["gt_boxes"].shape[0]
 
     def targets_one(pts, pvalid, gt, gv):
         flags, label, offsets = box_ops.points_in_boxes3d(pts, gt)

@@ -73,15 +73,25 @@ def linear(p, x):
 
 
 def conv2d(p, x, stride: int = 1, compute_dtype=None):
-    """NHWC 2D conv, SAME padding."""
+    """NHWC 2D conv, SAME padding.
+
+    In reduced precision the conv runs fully in compute_dtype and the output
+    is cast back to f32 (instead of preferred_element_type=f32): the MXU
+    still accumulates in f32 internally, and a homogeneous-dtype conv keeps
+    the autodiff transpose well-typed (an f32 cotangent against bf16 weights
+    is rejected by lax.conv_general_dilated).
+    """
     w = p["w"]
+    mixed = compute_dtype is not None and compute_dtype != jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=None if mixed else jnp.float32)
+    if mixed:
+        y = y.astype(jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y

@@ -418,12 +418,20 @@ def out_shape_stride2(shape_zyx: Tuple[int, int, int]) -> Tuple[int, int, int]:
 
 
 def _downsample_candidates(keys: jnp.ndarray,
-                           shape_zyx: Tuple[int, int, int]) -> jnp.ndarray:
-    """[8*M] candidate output keys of a stride-2 k3 p1 conv (with dups)."""
+                           shape_zyx: Tuple[int, int, int],
+                           y_limit_out=None) -> jnp.ndarray:
+    """[8*M] candidate output keys of a stride-2 k3 p1 conv (with dups).
+
+    y_limit_out: optional exclusive output-y bound BELOW the grid height —
+    the banded spatial sharding passes the GLOBAL grid top in band-local
+    coordinates, so a band whose local grid extends past the global
+    boundary clips the round-up candidate (y+1)//2 exactly where the
+    replicated grid does (parallel/sparse_spatial.py)."""
     od, oh, ow = out_shape_stride2(shape_zyx)
     coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
     c0 = coords // 2
     c1 = (coords + 1) // 2
+    y_hi = oh if y_limit_out is None else jnp.minimum(y_limit_out, oh)
     cands = []
     for sz in range(2):
         for sy in range(2):
@@ -431,26 +439,27 @@ def _downsample_candidates(keys: jnp.ndarray,
                 z = jnp.where(sz == 0, c0[:, 0], c1[:, 0])
                 y = jnp.where(sy == 0, c0[:, 1], c1[:, 1])
                 x = jnp.where(sx == 0, c0[:, 2], c1[:, 2])
-                ok = ((coords[:, 0] >= 0) & (z < od) & (y < oh) & (x < ow))
+                ok = ((coords[:, 0] >= 0) & (z < od) & (y < y_hi) & (x < ow))
                 kk = (z * oh + y) * ow + x
                 cands.append(jnp.where(ok, kk, INVALID_KEY).astype(jnp.int32))
     return jnp.concatenate(cands)
 
 
 def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
-                    out_cap: int) -> jnp.ndarray:
+                    out_cap: int, y_limit_out=None) -> jnp.ndarray:
     """Active output set of a stride-2 k3 p1 sparse conv (sorted, capped).
 
     Each input voxel coordinate i contributes to outputs o with
     2o-1 <= i <= 2o+1, i.e. o in {i//2, (i+1)//2} per dim (<= 8 parents).
     The output set is the union, computed as sort+unique with a static cap.
     """
-    return _unique_sorted(_downsample_candidates(keys, shape_zyx), out_cap)
+    return _unique_sorted(
+        _downsample_candidates(keys, shape_zyx, y_limit_out), out_cap)
 
 
 def downsample_keys_dense(keys: jnp.ndarray,
                           shape_zyx: Tuple[int, int, int],
-                          out_cap: int) -> jnp.ndarray:
+                          out_cap: int, y_limit_out=None) -> jnp.ndarray:
     """Sort-free active-set computation for the TPU fast path.
 
     XLA sorts on TPU are expensive; instead each candidate key is scatter-
@@ -462,7 +471,7 @@ def downsample_keys_dense(keys: jnp.ndarray,
     """
     od, oh, ow = out_shape_stride2(shape_zyx)
     total = od * oh * ow
-    cands = _downsample_candidates(keys, shape_zyx)           # [8M]
+    cands = _downsample_candidates(keys, shape_zyx, y_limit_out)  # [8M]
     n = cands.shape[0]
     valid = cands != INVALID_KEY
     safe = jnp.where(valid, cands, total)

@@ -33,35 +33,16 @@ def make_spatial_test_step(cfg, anchors, mesh: Mesh):
                    out_shardings=repl)
 
 
-def make_spatial_train_step(cfg, anchors, tx, mesh: Mesh):
-    """Jitted DP x spatial train step: batch on 'data', BEV on 'spatial'."""
-    import optax
+def make_spatial_train_step(cfg, anchors, tx, mesh: Mesh,
+                            packed_layout=None):
+    """Jitted DP x spatial train step: batch on 'data', BEV on 'spatial'.
 
-    if cfg.model.flat_batch:
-        import dataclasses as _dc
-        # see make_train_step: flat batching is per-device; under a sharded
-        # global batch the vmap path is the correct execution mode
-        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
-                                                 flat_batch=False))
-
-    sh = bev_sharding(mesh)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-
-    def step(params, state, opt_state, batch):
-        def loss_fn(p):
-            losses, new_state = detector.forward_train(
-                p, state, batch, anchors, cfg, bev_sharding=sh)
-            total = sum(losses.values())
-            return total, (losses, new_state)
-
-        grads, (losses, new_state) = jax.grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        metrics = dict(losses)
-        metrics["loss"] = sum(losses.values())
-        return new_params, new_state, new_opt, metrics
-
-    return jax.jit(step, in_shardings=(repl, repl, repl, data),
-                   out_shardings=(repl, repl, repl, repl),
-                   donate_argnums=(0, 1, 2))
+    ONE step body with make_train_step (train/loop.py) — only the BEV
+    sharding constraint differs — so the spatial path keeps the
+    non-finite-update guard and the packed-h2d support (VERDICT r3 item 7;
+    the guard is asserted under this mesh in tests/test_spatial.py).
+    """
+    from sassd_tpu.train.loop import make_train_step
+    return make_train_step(cfg, anchors, tx, mesh=mesh,
+                           packed_layout=packed_layout,
+                           bev_shard=bev_sharding(mesh))

@@ -140,11 +140,19 @@ def unpack_batch(packed, layout):
 
 
 def make_train_step(cfg: SASSDConfig, anchors, tx,
-                    mesh=None, packed_layout=None):
+                    mesh=None, packed_layout=None, bev_shard=None,
+                    forward_fn=None):
     """Build the jitted train step (donates params/state/opt_state).
 
     packed_layout: optional batch_pack_layout(...) — the step then takes a
-    pack_batch()-ed dict (one buffer per dtype) and unpacks on device."""
+    pack_batch()-ed dict (one buffer per dtype) and unpacks on device.
+    bev_shard: optional NamedSharding for the dense BEV stage (spatial
+    sharding; parallel/spatial.py wraps this).
+    forward_fn: alternative train forward with detector.forward_train's
+    signature (the banded spatial sharding hooks in here) — the step body
+    (guard, donation, packing) is shared either way."""
+    if forward_fn is None:
+        forward_fn = detector.forward_train
     if mesh is not None and cfg.model.flat_batch:
         import dataclasses as _dc
         # flat-batch merges the batch axis into conv rows, which under a
@@ -159,8 +167,8 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
         if packed_layout is not None:
             batch = unpack_batch(batch, packed_layout)
         def loss_fn(p):
-            losses, new_state = detector.forward_train(
-                p, state, batch, anchors, cfg)
+            losses, new_state = forward_fn(
+                p, state, batch, anchors, cfg, bev_sharding=bev_shard)
             total, _ = detector.parse_losses(losses)
             return total, (losses, new_state)
 

@@ -51,3 +51,111 @@ def test_spatial_train_step_runs():
     db = mesh_lib.shard_batch(mesh, batch)
     p, s, o, metrics = step(p, s, o, db)
     assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["nonfinite_skips"]) == 0.0
+
+
+def _tall_config():
+    """Tiny config stretched in y (H=256) so S=2 bands with halo=56 truncate
+    for real (band covers 128+112 < 256 cells)."""
+    import dataclasses
+    from sassd_tpu.config import VoxelConfig
+    cfg = tiny_config()
+    return dataclasses.replace(
+        cfg,
+        voxel=VoxelConfig(voxel_size=(0.1, 0.1, 0.5),
+                          point_cloud_range=(0.0, -12.8, -2.5, 6.4, 12.8, 1.5),
+                          max_num_points=5, max_voxels=1024),
+        # caps sized so NEITHER path truncates (a truncating global run
+        # legitimately differs from per-band caps — bands truncate later).
+        # NOTE: isolated random points EXPAND under the stride-2 downsample
+        # (up to 8 parent cells each), so the downstream caps must be ~4x
+        # the voxel count here, unlike surface-structured real scans.
+        caps=dataclasses.replace(cfg.caps,
+                                 level_caps=(1024, 4096, 4096, 4096)),
+    )
+
+
+def test_banded_sparse_loss_equals_replicated():
+    """Sparse-stage banded sharding (parallel/sparse_spatial.py): the banded
+    forward's losses must equal the replicated forward's — owned-masked BN,
+    halo recompute, sharded canvas assembly and per-band aux included."""
+    from sassd_tpu.parallel import sparse_spatial as ss
+    cfg = _tall_config()
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(3), batch_size=2, n_points=900).items()
+        if not k.startswith("plan_")}
+
+    ref_losses, ref_state = detector.forward_train(
+        params, state, batch, anchors, cfg)
+
+    spec = ss.make_band_spec(cfg, s=2)
+    assert spec.band_h == 128 and spec.halo == 64
+    got_losses, got_state = ss.forward_train_banded(
+        params, state, batch, anchors, cfg, spec)
+
+    assert set(got_losses) == set(ref_losses)
+    for k in ref_losses:
+        np.testing.assert_allclose(float(got_losses[k]),
+                                   float(ref_losses[k]), rtol=2e-4,
+                                   err_msg=k)
+    # BN batch statistics must match too (halo cells counted once)
+    def cmp(a, bb):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-3, atol=1e-5)
+    jax.tree_util.tree_map(cmp, ref_state["vxnet"], got_state["vxnet"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_banded_train_step_runs_on_mesh():
+    """make_banded_train_step executes under a data x spatial mesh with the
+    non-finite guard metrics present."""
+    from sassd_tpu.parallel import sparse_spatial as ss
+    from sassd_tpu.train import optim
+    cfg = _tall_config()
+    mesh = mesh_lib.make_mesh(8, spatial=2)      # 4 data x 2 spatial
+    spec = ss.make_band_spec(cfg, s=2)
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    tx = optim.make_optimizer(cfg.train, 100)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(4), batch_size=4, n_points=600).items()
+        if not k.startswith("plan_")}
+    step = ss.make_banded_train_step(cfg, anchors, tx, mesh, spec)
+    p, s, o = (mesh_lib.replicate(mesh, t) for t in (params, state, opt_state))
+    db = mesh_lib.shard_batch(mesh, batch)
+    p, s, o, metrics = step(p, s, o, db)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["nonfinite_skips"]) == 0.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_train_step_guards_nonfinite():
+    """The non-finite-update guard must fire under the spatial mesh too
+    (VERDICT r3 item 7: the spatial step previously applied updates
+    unconditionally)."""
+    from sassd_tpu.train import optim
+    cfg = tiny_config()
+    mesh = mesh_lib.make_mesh(8, spatial=4)
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    tx = optim.make_optimizer(cfg.train, 100)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(2), batch_size=2).items()}
+    # poison one voxel feature -> non-finite loss/grads
+    bad = np.array(batch["voxels"])
+    bad[0, 0, 0, 3] = np.nan
+    batch["voxels"] = jnp.asarray(bad)
+    step = spatial.make_spatial_train_step(cfg, anchors, tx, mesh)
+    p0 = jax.tree_util.tree_map(np.asarray, params)
+    p, s, o = (mesh_lib.replicate(mesh, t) for t in (params, state, opt_state))
+    db = mesh_lib.shard_batch(mesh, batch)
+    p, s, o, metrics = step(p, s, o, db)
+    assert float(metrics["nonfinite_skips"]) == 1.0
+    # params unchanged: the update was skipped wholesale
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(p))):
+        np.testing.assert_array_equal(a, b)

@@ -28,6 +28,8 @@ def main():
                     help="0 = build sparse-conv plans in the XLA graph")
     ap.add_argument("--config", default="car", choices=["car", "multi"])
     ap.add_argument("--aux_interp", default=None, choices=["ring", "exact"])
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -51,6 +53,8 @@ def main():
         model_updates["host_plans"] = False
     if args.aux_interp:
         model_updates["aux_interp"] = args.aux_interp
+    if args.compute_dtype:
+        model_updates["compute_dtype"] = args.compute_dtype
     if model_updates:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **model_updates))
