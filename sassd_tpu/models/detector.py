@@ -311,6 +311,10 @@ def forward_train(params, state, batch, anchors, cfg: SASSDConfig,
         scores, ga.boxes, ga.valid, batch["gt_boxes"], batch["gt_valid"],
         pos_iou_thr=cfg.train.extra_pos_iou,
         neg_iou_thr=cfg.train.extra_neg_iou))
+    # visibility metric, not a loss term (no 'loss' in the key, so
+    # parse_losses skips it): over-threshold anchors dropped by
+    # caps.guided_train this step — the reference keeps all passing anchors
+    losses["guided_truncated"] = jnp.mean(ga.truncated.astype(jnp.float32))
 
     new_state = dict(spine.new_state)
     new_state["pswarp"] = warp_state
@@ -342,7 +346,8 @@ def forward_test(params, state, batch, anchors, cfg: SASSDConfig,
         ga.boxes, scores, ga.labels, ga.valid,
         score_thr=cfg.test.score_thr, nms_iou_thr=cfg.test.nms_iou_thr,
         max_det=cfg.caps.max_det, nms_pre=cfg.test.nms_pre)
-    return dict(boxes=db, scores=ds, labels=dl, valid=dv)
+    return dict(boxes=db, scores=ds, labels=dl, valid=dv,
+                guided_truncated=ga.truncated)
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]):

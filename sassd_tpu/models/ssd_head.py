@@ -37,6 +37,12 @@ class GuidedAnchors(NamedTuple):
     boxes: jnp.ndarray       # [B, K, 7] decoded candidate boxes
     labels: jnp.ndarray      # [B, K] int32 class indices (0-based)
     valid: jnp.ndarray       # [B, K] bool
+    truncated: jnp.ndarray   # [B] int32 over-threshold candidates the static
+    #                          cap dropped (the reference keeps ALL passing
+    #                          anchors, ssd_rotate_head.py:307-372 — nonzero
+    #                          here means the negative pool was thinned; it
+    #                          surfaces as the `guided_truncated` train metric
+    #                          and in detection outputs)
 
 
 def head_init(key, num_output_filters: int, num_class: int,
@@ -215,6 +221,8 @@ def get_guided_anchors(outs: HeadOutputs,
     sel = (top_scores > thr) & anchors_mask
     ranked = jnp.where(sel, top_scores, -jnp.inf)
     k = cap if gt_boxes is None else cap - gt_boxes.shape[1]
+    n_pass = jnp.sum(sel, axis=1).astype(jnp.int32)           # [B]
+    truncated = jnp.maximum(n_pass - k, 0)
     top_vals, top_idx = jax.lax.top_k(ranked, k)              # [B, k]
     valid = jnp.isfinite(top_vals)
 
@@ -233,4 +241,4 @@ def get_guided_anchors(outs: HeadOutputs,
         labels = jnp.concatenate(
             [jnp.maximum(gt_labels - 1, 0).astype(jnp.int32), labels], axis=1)
         valid = jnp.concatenate([gt_valid, valid], axis=1)
-    return GuidedAnchors(boxes, labels, valid)
+    return GuidedAnchors(boxes, labels, valid, truncated)

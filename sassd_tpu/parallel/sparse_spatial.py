@@ -268,6 +268,7 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
         scores, ga.boxes, ga.valid, batch["gt_boxes"], batch["gt_valid"],
         pos_iou_thr=cfg.train.extra_pos_iou,
         neg_iou_thr=cfg.train.extra_neg_iou))
+    losses["guided_truncated"] = jnp.mean(ga.truncated.astype(jnp.float32))
 
     new_state = dict(state)
     new_state["vxnet"] = vx_state

@@ -26,7 +26,8 @@ def test_forward_train_losses_finite(setup):
     for k, v in losses.items():
         assert np.isfinite(float(v)), f"{k} not finite: {v}"
     expected = {"aux_loss_cls", "aux_loss_reg", "rpn_loc_loss",
-                "rpn_cls_loss", "rpn_dir_loss", "loss_cls"}
+                "rpn_cls_loss", "rpn_dir_loss", "loss_cls",
+                "guided_truncated"}
     assert set(losses) == expected
     # BN state must have been updated
     old = state["bevnet"]["bn0"]["mean"]

@@ -210,12 +210,15 @@ def test_loose_overlap_block_reported():
 
 def test_eval_speed_val_scale():
     """Full-val-scale eval must be tractable single-core: 3769 images with
-    realistic box counts through all metrics/difficulties/blocks."""
+    REFERENCE detection densities — real KITTI val frames carry up to ~50
+    DTs at score_thr 0.3 (VERDICT r3 item 10; the reference chunks frames
+    for exactly this, kitti_eval.py:345-419) — through all metrics,
+    difficulties and strict+loose blocks."""
     import time
     rng = np.random.default_rng(7)
     gts, dts = [], []
     for _ in range(3769):
-        gt, dt = messy_anno_pair(rng, n_gt=6, n_dt=8)
+        gt, dt = messy_anno_pair(rng, n_gt=6, n_dt=30)
         gts.append(gt)
         dts.append(dt)
     t0 = time.time()

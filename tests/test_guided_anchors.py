@@ -83,3 +83,44 @@ def test_guided_anchors_train_appends_gt():
     np.testing.assert_array_equal(valid[:, :g], gt_valid)
     assert not valid[:, g:].any()
     np.testing.assert_allclose(boxes[:, :g], gt, atol=1e-6)
+
+def test_truncation_counter_dense_scene():
+    """VERDICT r3 item 8: when more anchors pass the score threshold than the
+    static cap keeps, GuidedAnchors.truncated reports exactly how many were
+    dropped (the reference keeps ALL passing anchors); zero when under cap."""
+    rng = np.random.default_rng(2)
+    b, a = 2, 300
+    anchors = np.zeros((a, 7), np.float32)
+    anchors[:, :2] = rng.uniform(-20, 20, (a, 2))
+    anchors[:, 3:6] = [1.6, 3.9, 1.56]
+    outs = ssd_head.HeadOutputs(
+        jnp.asarray(rng.normal(0, 0.2, (b, a, 7)).astype(np.float32)),
+        jnp.asarray(np.full((b, a, 1), 3.0, np.float32)),   # ALL pass
+        jnp.asarray(rng.normal(0, 1, (b, a, 2)).astype(np.float32)))
+    mask = np.ones((b, a), bool)
+    mask[1, :100] = False                                   # sample 1: 200 pass
+
+    cap = 64
+    ga = ssd_head.get_guided_anchors(outs, jnp.asarray(anchors),
+                                     jnp.asarray(mask), num_class=1,
+                                     thr=0.1, cap=cap)
+    np.testing.assert_array_equal(np.asarray(ga.truncated),
+                                  [a - cap, 200 - cap])
+
+    # train mode: GT slots shrink the candidate budget (k = cap - n_gt)
+    g = 4
+    gt = rng.normal(0, 5, (b, g, 7)).astype(np.float32)
+    ga_tr = ssd_head.get_guided_anchors(
+        outs, jnp.asarray(anchors), jnp.asarray(mask), num_class=1,
+        thr=0.1, cap=cap, gt_boxes=jnp.asarray(gt),
+        gt_labels=jnp.ones((b, g), jnp.int32),
+        gt_valid=jnp.ones((b, g), bool))
+    np.testing.assert_array_equal(np.asarray(ga_tr.truncated),
+                                  [a - (cap - g), 200 - (cap - g)])
+
+    # under-cap scene: counter is zero
+    ga0 = ssd_head.get_guided_anchors(
+        outs, jnp.asarray(anchors),
+        jnp.asarray(np.arange(a)[None, :] < np.array([[10], [20]])),
+        num_class=1, thr=0.1, cap=cap)
+    np.testing.assert_array_equal(np.asarray(ga0.truncated), [0, 0])
