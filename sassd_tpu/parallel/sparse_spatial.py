@@ -87,13 +87,19 @@ def band_shape(cfg: SASSDConfig, spec: BandSpec) -> Tuple[int, int, int]:
 
 
 def partition(coords: jnp.ndarray, rows: List[jnp.ndarray], spec: BandSpec
-              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+              ) -> Tuple[jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
     """Split [B, M, ...] row arrays into per-band arrays [S, B, cap0, ...].
 
     coords: [B, M, 3] global zyx (-1 padding). Band b owns y in
     [b*band_h, (b+1)*band_h) and also carries [lo, hi) = owned +- halo.
     Returned coords are BAND-LOCAL (y -= lo); row order — hence key
     sortedness — is preserved (compaction by running rank).
+
+    Also returns overflow [S, B] int32: members beyond the per-band level-0
+    cap, which partition silently truncates. A nonzero overflow means the
+    banded==replicated guarantee is broken by an undersized cap_margin —
+    forward_train_banded surfaces the batch total as the `band_overflow`
+    metric (the banded analog of `guided_truncated`).
     """
     cb = spec.caps[0]
 
@@ -107,20 +113,22 @@ def partition(coords: jnp.ndarray, rows: List[jnp.ndarray], spec: BandSpec
         bc = jnp.full((cb, 3), -1, jnp.int32).at[dst].set(cl, mode="drop")
         bex = [jnp.zeros((cb,) + e.shape[1:], e.dtype
                          ).at[dst].set(e, mode="drop") for e in ex]
-        return bc, bex
+        over = jnp.maximum(jnp.sum(mem.astype(jnp.int32)) - cb, 0)
+        return bc, bex, over
 
-    bcs, bexs = [], []
+    bcs, bexs, bovs = [], [], []
     for b in range(spec.s):
         lo = b * spec.band_h - spec.halo
         hi = (b + 1) * spec.band_h + spec.halo
-        bc, bex = jax.vmap(lambda c, *e: one(c, list(e), lo, hi)
-                           )(coords, *rows)
+        bc, bex, bov = jax.vmap(lambda c, *e: one(c, list(e), lo, hi)
+                                )(coords, *rows)
         bcs.append(bc)
         bexs.append(bex)
+        bovs.append(bov)
     bcoords = jnp.stack(bcs, axis=0)                       # [S, B, cb, 3]
     brows = [jnp.stack([bexs[b][i] for b in range(spec.s)], axis=0)
              for i in range(len(rows))]
-    return bcoords, brows
+    return bcoords, brows, jnp.stack(bovs, axis=0)         # [S, B]
 
 
 def _y_top_rows(cfg: SASSDConfig, spec: BandSpec, b: int) -> jnp.ndarray:
@@ -174,7 +182,7 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
     """
     cd = detector._compute_dtype(cfg)
     vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])   # [B,M,F]
-    bcoords, (bvfe,) = partition(batch["coords"], [vfe], spec)
+    bcoords, (bvfe,), band_over = partition(batch["coords"], [vfe], spec)
     s, b = bcoords.shape[:2]
     bshape = band_shape(cfg, spec)
     flat_c = bcoords.reshape(s * b, *bcoords.shape[2:])
@@ -269,6 +277,10 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
         pos_iou_thr=cfg.train.extra_pos_iou,
         neg_iou_thr=cfg.train.extra_neg_iou))
     losses["guided_truncated"] = jnp.mean(ga.truncated.astype(jnp.float32))
+    # metric, not a loss (no 'loss' in key): level-0 actives silently
+    # truncated by an undersized per-band cap — nonzero breaks the
+    # banded==replicated guarantee (see partition)
+    losses["band_overflow"] = jnp.sum(band_over.astype(jnp.float32))
 
     new_state = dict(state)
     new_state["vxnet"] = vx_state

@@ -192,7 +192,10 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
         new_state = keep_if_ok(new_state, state)
         new_opt = keep_if_ok(new_opt, opt_state)
         metrics = dict(losses)
-        metrics["loss"] = sum(losses.values())
+        # parse_losses, NOT sum(values()): the losses dict also carries
+        # pure metrics (guided_truncated is a dropped-anchor COUNT) that
+        # must not inflate the logged training loss
+        metrics["loss"], _ = detector.parse_losses(losses)
         metrics["grad_norm"] = gnorm
         metrics["nonfinite_skips"] = 1.0 - ok.astype(jnp.float32)
         return new_params, new_state, new_opt, metrics

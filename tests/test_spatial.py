@@ -55,8 +55,9 @@ def test_spatial_train_step_runs():
 
 
 def _tall_config():
-    """Tiny config stretched in y (H=256) so S=2 bands with halo=56 truncate
-    for real (band covers 128+112 < 256 cells)."""
+    """Tiny config stretched in y (H=256) so S=2 bands with halo=64 carry a
+    real proper subset of the grid (band covers 128+128 = 256 one-sided, but
+    each band's [lo, hi) window spans only 192 of the 256 y cells)."""
     import dataclasses
     from sassd_tpu.config import VoxelConfig
     cfg = tiny_config()
@@ -95,6 +96,7 @@ def test_banded_sparse_loss_equals_replicated():
     got_losses, got_state = ss.forward_train_banded(
         params, state, batch, anchors, cfg, spec)
 
+    assert float(got_losses.pop("band_overflow")) == 0.0
     assert set(got_losses) == set(ref_losses)
     for k in ref_losses:
         np.testing.assert_allclose(float(got_losses[k]),
