@@ -111,6 +111,21 @@ class ModelConfig:
                                        # downsample. Requires key-sorted
                                        # input voxels — both voxelizers
                                        # (ops/voxelize.py) guarantee it
+    plan_lookup: str = "dense"         # on-device plan resolution backend:
+                                       # "dense" = dense index maps (one
+                                       # scatter + windowed slice-3
+                                       # gathers) | "sorted" = windowed
+                                       # binary search over the level's
+                                       # sorted keys (lookup_sorted3 — no
+                                       # [D*H*W] map materialized).
+                                       # Identical plans either way
+                                       # (tests/test_device_plans.py), but
+                                       # "sorted" MEASURED 4x SLOWER on v5e
+                                       # (searchsorted = ~15 serialized
+                                       # gather rounds; plans 25.4 -> 100.9
+                                       # ms, PERF.md round 5) — kept for
+                                       # grids too large to materialize.
+                                       # Ignored with host plans
     aux_interp: str = "ring"           # aux-branch 3-NN candidate source:
                                        # "ring" = 3x3x3 neighborhood of the
                                        # query's parent cell (the host
@@ -205,6 +220,35 @@ class TestConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh-parallelism strategy (no reference analog — the reference is
+    data-parallel only, SURVEY §2.7; this is the framework's TPU-native
+    scaling axis).
+
+    strategy:
+      "data"    — pure DP: batch sharded over every device (default).
+      "spatial" — DP x dense-BEV sharding: the BEV canvas is sharded along
+                  H over a 'spatial' mesh axis; XLA inserts the conv halo
+                  exchanges (parallel/spatial.py). The sparse ladder stays
+                  replicated.
+      "banded"  — DP x full spatial sharding INCLUDING the sparse stage:
+                  level-0 active voxels are partitioned into y-bands with
+                  halo recompute; banded loss == replicated loss exactly
+                  (parallel/sparse_spatial.py).
+    spatial: size of the mesh's 'spatial' axis (1 = off; total devices
+      must be divisible by it). With "banded", also the number of y-bands.
+    band_halo: level-0 y halo cells per side ("banded" only; the default
+      covers the full ladder's receptive field — sparse_spatial.HALO).
+    band_cap_margin: per-band cap safety factor over the covered grid
+      fraction ("banded" only; undersizing is surfaced by the
+      `band_overflow` train metric)."""
+    strategy: str = "data"
+    spatial: int = 1
+    band_halo: int = 64
+    band_cap_margin: float = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
 class DataConfig:
     root: str = ""
     info_path: str = ""
@@ -236,6 +280,7 @@ class SASSDConfig:
     train: TrainConfig = TrainConfig()
     test: TestConfig = TestConfig()
     data: DataConfig = DataConfig()
+    parallel: ParallelConfig = ParallelConfig()
     work_dir: str = "./work_dir"
     resume_from: Optional[str] = None
     load_from: Optional[str] = None

@@ -55,6 +55,25 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
         step = serve.make_serving_step(cfg, dataset.anchors,
                                        dataset.anchors_bv,
                                        packed_layout=layout)
+    elif cfg.parallel.strategy != "data" and cfg.parallel.spatial > 1:
+        # spatially sharded inference (ParallelConfig): dense-BEV H-sharding
+        # or full banded sparse-stage sharding over a data x spatial mesh
+        from sassd_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(spatial=cfg.parallel.spatial)
+        layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
+        if cfg.parallel.strategy == "banded":
+            from sassd_tpu.parallel import sparse_spatial as ss
+            spec = ss.make_band_spec(cfg, s=cfg.parallel.spatial,
+                                     cap_margin=cfg.parallel.band_cap_margin,
+                                     halo=cfg.parallel.band_halo)
+            step = ss.make_banded_test_step(cfg, anchors, mesh, spec,
+                                            packed_layout=layout)
+        else:
+            from sassd_tpu.parallel.spatial import make_spatial_test_step
+            step = make_spatial_test_step(cfg, anchors, mesh,
+                                          packed_layout=layout)
+        params = mesh_lib.replicate(mesh, params)
+        state = mesh_lib.replicate(mesh, state)
     else:
         layout = batch_pack_layout(collate([dataset[0]] * batch_size)[0])
         step = make_test_step(cfg, anchors, packed_layout=layout)

@@ -145,6 +145,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 dense_tail: bool = True, triple_gather: bool = True,
                 store_im2col: bool = True, flat_batch: bool = True,
                 sorted_device_levels: bool = True,
+                plan_lookup: str = "sorted",
                 want_aux_plans: bool = False,
                 bn_owned_y: Tuple[int, int] = None,
                 y_top=None):
@@ -157,6 +158,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
       dense_index: resolve neighbors through per-level dense index maps
         (one scatter + one gather; the TPU-fast path) instead of binary
         search over sorted keys.
+      plan_lookup: with ON-DEVICE plans and sorted levels, "sorted"
+        resolves every plan lookup with windowed binary search over the
+        level's sorted keys — no [D*H*W] index map is ever materialized
+        (ops/sparse.py::lookup_sorted3; the serving-graph fast path, where
+        the full-res map cost ~25 ms/scan of HBM traffic). "dense" keeps
+        the index-map resolution. Ignored with host plans. Falls back to
+        "dense" when levels are not sorted (sorted_device_levels=False).
       host_plans: optional dict of C++-built gather plans (ops/native.py
         build_plans_cpp, batched): subm0..3 [B,27,capL], stride1..3,
         coords1..3 [B,capL,3]. When given, no active-set or neighbor work
@@ -213,19 +221,25 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     # downsampler (the voxelizers keep level 0 sorted)
     sorted_dev = sorted_device_levels and host_plans is None
     tg = triple_gather and (host_plans is not None or sorted_dev)
+    # windowed-binary-search plan resolution needs sorted level keys
+    sorted_plans = (plan_lookup == "sorted" and host_plans is None
+                    and dense_index and sorted_dev)
     # keep forward im2col matrices for the backward dW only when training
     # (inference never differentiates; saves the residual memory)
     sc = store_im2col and train
     fb = flat_batch
 
     def index_map(keys, shape):
-        if host_plans is not None or not dense_index:
+        if host_plans is not None or not dense_index or sorted_plans:
             return None
         return jax.vmap(lambda k: sp.build_index_map(k, shape))(keys)
 
     def subm_plan(level, keys, shape, imap):
         if host_plans is not None:
             return _host_plan(host_plans[f"subm{level}"])
+        if sorted_plans:
+            return jax.vmap(lambda k: sp.build_subm_plan(
+                k, shape, sorted_lookup=True))(keys)
         if imap is None:
             return jax.vmap(lambda k: sp.build_subm_plan(k, shape))(keys)
         return jax.vmap(lambda k, im: sp.build_subm_plan(k, shape,
@@ -257,13 +271,26 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             ds = (sp.downsample_keys_dense if dense_index and not sorted_dev
                   else sp.downsample_keys)
             if y_top is None:
-                out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
+                if keys.shape[0] == 1:
+                    # B=1 (serving): the un-vmapped sort measures ~1 ms/level
+                    # faster than its B=1 vmap on v5e (PERF.md round 5)
+                    out_keys = ds(keys[0], shape, cap)[None]
+                else:
+                    out_keys = jax.vmap(lambda k: ds(k, shape, cap))(keys)
             else:
                 out_keys = jax.vmap(
                     lambda k, yt: ds(k, shape, cap,
                                      y_limit_out=yt >> level)
                 )(keys, y_top)
-            if imap is None:
+            if sorted_plans:
+                plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(
+                    ik, ok, shape, sorted_lookup=True))(keys, out_keys)
+                # device TRANSPOSE plan: only the backward consumes it
+                planT = None
+                if train:
+                    planT = jax.vmap(lambda ik, ok: sp.build_stride_plan_T(
+                        ik, shape, out_sorted_keys=ok))(keys, out_keys)
+            elif imap is None:
                 plan = jax.vmap(lambda ik, ok: sp.build_stride_plan(
                     ik, ok, shape))(keys, out_keys)
                 planT = None
@@ -328,17 +355,27 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
 
     aux_plans = {}
     if want_aux_plans and train and host_plans is None:
-        if imap3 is None:
-            imap3 = index_map(keys3, shape3)
-        if imap1 is not None:
+        if sorted_plans:
             coords0 = jax.vmap(
                 lambda k: sp.keys_to_coords(k, sparse_shape))(keys0)
-            for lvl, (im, shp) in enumerate(
-                    [(imap1, shape1), (imap2, shape2), (imap3, shape3)],
+            for lvl, (ks, shp) in enumerate(
+                    [(keys1, shape1), (keys2, shape2), (keys3, shape3)],
                     start=1):
                 aux_plans[f"aux{lvl}"] = jax.vmap(
-                    lambda c, m, _s=shp, _l=lvl: sp.build_aux_plan(
-                        c, _l, m, _s))(coords0, im)
+                    lambda c, k, _s=shp, _l=lvl: sp.build_aux_plan(
+                        c, _l, None, _s, level_sorted_keys=k))(coords0, ks)
+        else:
+            if imap3 is None:
+                imap3 = index_map(keys3, shape3)
+            if imap1 is not None:
+                coords0 = jax.vmap(
+                    lambda k: sp.keys_to_coords(k, sparse_shape))(keys0)
+                for lvl, (im, shp) in enumerate(
+                        [(imap1, shape1), (imap2, shape2), (imap3, shape3)],
+                        start=1):
+                    aux_plans[f"aux{lvl}"] = jax.vmap(
+                        lambda c, m, _s=shp, _l=lvl: sp.build_aux_plan(
+                            c, _l, m, _s))(coords0, im)
 
     def _ret(*core):
         return core + ((aux_plans,) if want_aux_plans else ())

@@ -150,6 +150,7 @@ def forward_spine(params, state, batch, cfg: SASSDConfig, *, train: bool,
         store_im2col=cfg.model.store_im2col,
         flat_batch=cfg.model.flat_batch,
         sorted_device_levels=cfg.model.sorted_device_levels,
+        plan_lookup=cfg.model.plan_lookup,
         want_aux_plans=want_aux)
 
     if out_keys is None:                     # dense-tail backbone output

@@ -119,6 +119,37 @@ def lookup_dense(index_map: jnp.ndarray, queries: jnp.ndarray):
     return jnp.maximum(rows, 0), found
 
 
+def lookup_sorted3(sorted_keys: jnp.ndarray, start: jnp.ndarray):
+    """Resolve 3 CONSECUTIVE key queries (start + j, j=0..2) against a
+    SORTED key array with ONE binary search per group.
+
+    The dense-map analog is lookup_dense3; this form needs no [D*H*W]
+    index map at all. Because the 3 queried keys are consecutive integers
+    and the key array is sorted+unique, every present query lands in the
+    3-row window starting at searchsorted(start): rows p, p+1, p+2 of the
+    sorted array hold whichever of {start, start+1, start+2} exist. One
+    width-3 windowed read of the (tiny, <= cap-sized) sorted keys + 9
+    compares resolves the whole group — the full-resolution grid is never
+    materialized, so plan building costs O(M log M) instead of O(D*H*W).
+
+    Returns rows [..., 3] (clipped >= 0) and found [..., 3]. Caller masks
+    per-tap grid-bounds validity exactly as with lookup_dense3.
+    """
+    m = sorted_keys.shape[0]
+    p = jnp.searchsorted(sorted_keys, start, method="scan_unrolled")
+    pad = jnp.full((2,), INVALID_KEY, sorted_keys.dtype)
+    sk = jnp.concatenate([sorted_keys, pad])               # [m + 2]
+    t = jnp.stack([sk[:-2], sk[1:-1], sk[2:]], axis=-1)    # [m, 3]
+    pc = jnp.clip(p, 0, m - 1)
+    w = t[pc.reshape(-1)].reshape(start.shape + (3,))      # [..., 3] keys
+    vals = start[..., None] + jnp.arange(3, dtype=start.dtype)
+    cmp = w[..., :, None] == vals[..., None, :]            # [..., slot, tap]
+    found = jnp.any(cmp, axis=-2) & (vals != INVALID_KEY)
+    slot = jnp.argmax(cmp, axis=-2).astype(jnp.int32)
+    rows = jnp.minimum(pc[..., None] + slot, m - 1)
+    return rows, found
+
+
 def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray):
     """Gather index_map[start + j] for j=0..2 as ONE slice-3 gather per row.
 
@@ -133,6 +164,19 @@ def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray):
     Returns rows [..., 3] (clipped >= 0) and raw found [..., 3].
     """
     total = index_map.shape[0]
+    if not USE_WINDOW_TABLE:
+        # 3 direct 1-D gathers from the RAW map — no padded copy, no
+        # [total+1, 3] table: at the full-res level those two copies are
+        # ~1.4 GB of HBM traffic per plan build
+        s0 = start.reshape(-1)
+        rows = []
+        for j in range(3):
+            q = s0 + j
+            r = jnp.where((q >= 0) & (q < total),
+                          index_map[jnp.clip(q, 0, total - 1)], -1)
+            rows.append(r)
+        rows = jnp.stack(rows, axis=-1).reshape(start.shape + (3,))
+        return jnp.maximum(rows, 0).astype(jnp.int32), rows >= 0
     pad = jnp.full((2,), -1, index_map.dtype)
     p = jnp.concatenate([pad[:1], index_map, pad])     # [total + 3]
     # materialized [total+1, 3] window table + 2-D row gather — the
@@ -167,12 +211,19 @@ _DZDY = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], indexing="ij"),
 # perf ablations (tools/profile_serve.py) can flip it; semantics identical.
 import os as _os
 USE_WINDOW_PLANS = _os.environ.get("SASSD_WINDOW_PLANS", "1") != "0"
+# window-table form of lookup_dense3 vs 3 direct map gathers (perf ablation)
+USE_WINDOW_TABLE = _os.environ.get("SASSD_WINDOW_TABLE", "1") != "0"
 
 
 def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
-                 index_map: jnp.ndarray) -> SubmPlan:
+                 index_map: jnp.ndarray = None,
+                 sorted_keys: jnp.ndarray = None) -> SubmPlan:
     """27-tap plan (taps = base + off, (dz,dy,dx) row-major) via 9 windowed
-    slice-3 gathers instead of 27 single-row gathers (lookup_dense3).
+    slice-3 lookups instead of 27 single-row lookups.
+
+    Resolution backend: a dense index map (lookup_dense3) or a binary
+    search over the level's SORTED keys (lookup_sorted3 — no dense grid
+    materialized; the serving-graph fast path).
 
     base_coords [M, 3] zyx; rows with z < 0 are padding. The per-tap
     x-bounds masks are mandatory: the window cells of an out-of-grid x tap
@@ -186,7 +237,11 @@ def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
     gok = ((z >= 0) & (x >= 0) & (x < w))[None] \
         & (zq >= 0) & (zq < d) & (yq >= 0) & (yq < h)
     qmid = (zq * h + yq) * w + x[None]
-    rows3, fw = lookup_dense3(index_map, qmid - 1)            # [9, M, 3]
+    if index_map is not None:
+        rows3, fw = lookup_dense3(index_map, qmid - 1)        # [9, M, 3]
+    else:
+        safe = jnp.where(gok, qmid - 1, INVALID_KEY - 3)
+        rows3, fw = lookup_sorted3(sorted_keys, safe)         # [9, M, 3]
     f0 = fw[..., 0] & gok & (x >= 1)[None]
     f1 = fw[..., 1] & gok
     f2 = fw[..., 2] & gok & (x + 1 < w)[None]
@@ -198,14 +253,19 @@ def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
 
 
 def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
-                    kernel: int = 3, index_map: jnp.ndarray = None
-                    ) -> SubmPlan:
+                    kernel: int = 3, index_map: jnp.ndarray = None,
+                    sorted_lookup: bool = False) -> SubmPlan:
     """Neighbor indices for a submanifold conv at this level (built once,
     reused by every subm conv with the same level — spconv indice_key).
 
     With `index_map` (see build_index_map) resolution is one windowed dense
-    gather per (dz, dy) tap group; otherwise binary search over the sorted
-    keys."""
+    gather per (dz, dy) tap group; with `sorted_lookup` (keys must be
+    sorted — both voxelizers and downsample_keys guarantee it) one windowed
+    binary search per group, with NO dense grid materialized (the cheapest
+    form at serving voxel counts); otherwise per-tap binary search."""
+    if kernel == 3 and USE_WINDOW_PLANS and sorted_lookup:
+        return _window_plan(keys_to_coords(keys, shape_zyx), shape_zyx,
+                            sorted_keys=keys)
     if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
         return _window_plan(keys_to_coords(keys, shape_zyx), shape_zyx,
                             index_map)
@@ -457,6 +517,46 @@ def downsample_keys(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
         _downsample_candidates(keys, shape_zyx, y_limit_out), out_cap)
 
 
+def downsample_keys_with_map(keys: jnp.ndarray,
+                             shape_zyx: Tuple[int, int, int],
+                             out_cap: int, y_limit_out=None):
+    """Sorted active output set of a stride-2 conv AND the output level's
+    dense index map, in ONE fused pass — no XLA sort.
+
+    Scatter the <= 8*M candidate keys as presence marks into the OUTPUT
+    grid, take a running rank (cumsum), and read each candidate's rank
+    back: the rank IS both the compaction destination (sorted, because
+    ranks ascend with linear cell index) and the output index map that
+    build_subm_plan / build_stride_plan at the next level need — so the
+    sort-based downsample (~2.3 ms/level on v5e) and the next level's
+    build_index_map collapse into one cumsum + two scatter/gather passes.
+
+    MEASURED SLOWER on v5e (round 5): the 3-level serving plan pipeline
+    went 25.3 -> 29.9 ms — the output-grid cumsum (11.3M cells at L0->L1)
+    costs more than the 160k-element sort it replaces. Kept for grids
+    where out_cap*8 >> out_total would flip the balance, and as the
+    recorded refutation (PERF.md round 5).
+
+    Returns (out_keys [out_cap] sorted INVALID-padded, index_map [total]
+    int32 rows-or--1). Identical results to downsample_keys +
+    build_index_map (tests/test_device_plans.py).
+    """
+    od, oh, ow = out_shape_stride2(shape_zyx)
+    total = od * oh * ow
+    cands = _downsample_candidates(keys, shape_zyx, y_limit_out)  # [8M]
+    valid = cands != INVALID_KEY
+    safe = jnp.where(valid, cands, total)
+    mark = jnp.zeros((total + 1,), jnp.int32).at[safe].set(1, mode="drop")
+    mark = mark[:total]
+    rank = jnp.cumsum(mark) - 1                    # row of each marked cell
+    index_map = jnp.where((mark > 0) & (rank < out_cap), rank, -1)
+    r = jnp.where(valid, rank[jnp.minimum(safe, total - 1)], out_cap)
+    out = jnp.full((out_cap,), INVALID_KEY, jnp.int32)
+    out = out.at[r].set(jnp.where(valid, cands, 0).astype(jnp.int32),
+                        mode="drop")
+    return out, index_map
+
+
 def downsample_keys_dense(keys: jnp.ndarray,
                           shape_zyx: Tuple[int, int, int],
                           out_cap: int, y_limit_out=None) -> jnp.ndarray:
@@ -486,19 +586,22 @@ def downsample_keys_dense(keys: jnp.ndarray,
 
 def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
                       in_shape: Tuple[int, int, int],
-                      kernel: int = 3, index_map: jnp.ndarray = None
-                      ) -> SubmPlan:
+                      kernel: int = 3, index_map: jnp.ndarray = None,
+                      sorted_lookup: bool = False) -> SubmPlan:
     """Gather plan mapping each output voxel's 27 taps to input rows.
 
     For output o and kernel tap k (0..2 per dim), the input coordinate is
-    i = 2*o + k - 1 (stride 2, pad 1).
+    i = 2*o + k - 1 (stride 2, pad 1). sorted_lookup: resolve against the
+    SORTED in_keys with windowed binary search (no dense map).
     """
     d, h, w = in_shape
     out_sh = out_shape_stride2(in_shape)
     ocoords = keys_to_coords(out_keys, out_sh)                # [Mo, 3]
-    if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
+    if kernel == 3 and USE_WINDOW_PLANS and sorted_lookup:
         # base = 2*o: the x taps query 2x-1, 2x, 2x+1 — consecutive keys,
         # so the windowed lookup applies unchanged (pad rows: 2*(-1) < 0)
+        return _window_plan(2 * ocoords, in_shape, sorted_keys=in_keys)
+    if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
         return _window_plan(2 * ocoords, in_shape, index_map)
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
     icoords = 2 * ocoords[None, :, :] + off[:, None, :]       # [K, Mo, 3]
@@ -517,7 +620,8 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
 
 def build_stride_plan_T(in_keys: jnp.ndarray,
                         in_shape: Tuple[int, int, int],
-                        out_index_map: jnp.ndarray) -> SubmPlan:
+                        out_index_map: jnp.ndarray = None,
+                        out_sorted_keys: jnp.ndarray = None) -> SubmPlan:
     """TRANSPOSE plan of a stride-2 k3 p1 conv, built ON DEVICE.
 
     For each INPUT voxel with coordinate c and tap offset off_k, the output
@@ -542,7 +646,11 @@ def build_stride_plan_T(in_keys: jnp.ndarray,
            & (cy % 2 == 0) & (cy >= 0) & (cy // 2 < oh))
     s = (x - 1) // 2                                          # window start
     qstart = ((cz // 2) * oh + (cy // 2)) * ow + s[None]
-    rows3, fw = lookup_dense3(out_index_map, qstart)          # [9, M, 3]
+    if out_index_map is not None:
+        rows3, fw = lookup_dense3(out_index_map, qstart)      # [9, M, 3]
+    else:
+        safe = jnp.where(gok, qstart, INVALID_KEY - 3)
+        rows3, fw = lookup_sorted3(out_sorted_keys, safe)     # [9, M, 3]
     taps_idx, taps_found = [], []
     for dx in (-1, 0, 1):
         cx = x - dx
@@ -563,17 +671,21 @@ def build_stride_plan_T(in_keys: jnp.ndarray,
 
 def build_aux_plan(cell0_zyx: jnp.ndarray, level: int,
                    level_index_map: jnp.ndarray,
-                   level_shape: Tuple[int, int, int]) -> jnp.ndarray:
+                   level_shape: Tuple[int, int, int],
+                   level_sorted_keys: jnp.ndarray = None) -> jnp.ndarray:
     """Aux-branch ring 3-NN candidate plan, built ON DEVICE.
 
     [M0, 3] level-0 zyx cells (-1 = padding) -> [27, M0] int32 rows of the
     3x3x3 neighborhood of (cell0 >> level) in the level's arrays, -1 =
     missing — the host rulebook's aux{L} plan format (ops/native.py), tap
     order = interpolate._offsets27. Consumed by
-    interpolate.neighborhood_interpolate_cells.
+    interpolate.neighborhood_interpolate_cells. Resolution: dense index
+    map, or windowed binary search when `level_sorted_keys` is given
+    instead (level_index_map=None).
     """
     parent = cell0_zyx >> level                               # -1 stays -1
-    plan = _window_plan(parent, level_shape, level_index_map)
+    plan = _window_plan(parent, level_shape, index_map=level_index_map,
+                        sorted_keys=level_sorted_keys)
     return jnp.where(plan.found, plan.idx, -1)
 
 

@@ -172,14 +172,24 @@ def _banded_aux(params, middles, points_mean, cell0, aux_plans, cfg,
     return point_cls, point_reg
 
 
-def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
-                         spec: BandSpec, mesh: Mesh = None):
-    """detector.forward_train with the sparse stage banded over 'spatial'.
+class _BandedSpine(NamedTuple):
+    bev_map: jnp.ndarray
+    conv6: jnp.ndarray
+    middles: list
+    aux_plans: dict            # {} at inference
+    flat_c: jnp.ndarray        # [S*B, cap0, 3] band-local coords
+    flat_f: jnp.ndarray        # [S*B, cap0, F] VFE features
+    band_over: jnp.ndarray     # [S, B] level-0 cap overflow counts
+    vx_state: dict
+    bev_state: dict
+    s: int
+    b: int
 
-    Same losses as the replicated step (asserted in tests/test_spatial.py
-    and the multichip dryrun): aux runs per band on owned queries, the BEV
-    canvas is assembled H-sharded, heads are unchanged.
-    """
+
+def _banded_spine(params, state, batch, cfg: SASSDConfig, spec: BandSpec,
+                  mesh: Mesh, *, train: bool) -> _BandedSpine:
+    """Shared banded trunk: partition -> per-band sparse ladder (halo
+    recompute, owned-masked BN, y_top clipping) -> H-sharded BEV trunk."""
     cd = detector._compute_dtype(cfg)
     vfe = backbone.vfe_mean(batch["voxels"], batch["num_points"])   # [B,M,F]
     bcoords, (bvfe,), band_over = partition(batch["coords"], [vfe], spec)
@@ -193,21 +203,27 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
         flat_f = jax.lax.with_sharding_constraint(flat_f, sh_rows)
     keys0 = jax.vmap(lambda c: sp.coords_to_keys(c, bshape))(flat_c)
 
-    if cfg.model.aux_interp != "ring":
+    want_aux = train
+    if want_aux and cfg.model.aux_interp != "ring":
         raise ValueError("banded sharding requires aux_interp='ring' "
                          "(exact 3-NN is not band-local)")
-    (out_keys, out_feats, out_shape, middles, vx_state,
-     aux_plans) = backbone.vxnet_apply(
+    res = backbone.vxnet_apply(
         params["vxnet"], state["vxnet"], keys0, flat_f,
-        sparse_shape=bshape, level_caps=spec.caps, train=True,
+        sparse_shape=bshape, level_caps=spec.caps, train=train,
         compute_dtype=cd, dense_index=True, host_plans=None,
         dense_tail=cfg.model.dense_tail,
         triple_gather=cfg.model.triple_gather,
         store_im2col=cfg.model.store_im2col, flat_batch=False,
         sorted_device_levels=cfg.model.sorted_device_levels,
-        want_aux_plans=True,
+        plan_lookup=cfg.model.plan_lookup,
+        want_aux_plans=want_aux,
         bn_owned_y=(spec.halo, spec.halo + spec.band_h),
         y_top=_y_top_rows(cfg, spec, b))
+    if want_aux:
+        out_keys, out_feats, out_shape, middles, vx_state, aux_plans = res
+    else:
+        out_keys, out_feats, out_shape, middles, vx_state = res
+        aux_plans = {}
 
     # ---- assemble the H-sharded BEV canvas from owned band rows ----
     lo3, bh3 = spec.halo >> 3, spec.band_h >> 3
@@ -226,11 +242,29 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
         bev_sh = NamedSharding(mesh, P(None, "spatial", None, None))
         bev_in = jax.lax.with_sharding_constraint(bev_in, bev_sh)
     bev_map, conv6, bev_state = bev.bevnet_apply(
-        params["bevnet"], state["bevnet"], bev_in, train=True,
+        params["bevnet"], state["bevnet"], bev_in, train=train,
         compute_dtype=cd)
     if bev_sh is not None:
         bev_map = jax.lax.with_sharding_constraint(bev_map, bev_sh)
         conv6 = jax.lax.with_sharding_constraint(conv6, bev_sh)
+    return _BandedSpine(bev_map, conv6, middles, aux_plans, flat_c, flat_f,
+                        band_over, vx_state, bev_state, s, b)
+
+
+def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
+                         spec: BandSpec, mesh: Mesh = None):
+    """detector.forward_train with the sparse stage banded over 'spatial'.
+
+    Same losses as the replicated step (asserted in tests/test_spatial.py
+    and the multichip dryrun): aux runs per band on owned queries, the BEV
+    canvas is assembled H-sharded, heads are unchanged.
+    """
+    cd = detector._compute_dtype(cfg)
+    sp_out = _banded_spine(params, state, batch, cfg, spec, mesh, train=True)
+    s, b = sp_out.s, sp_out.b
+    bev_map, conv6 = sp_out.bev_map, sp_out.conv6
+    middles, aux_plans = sp_out.middles, sp_out.aux_plans
+    flat_c, flat_f, band_over = sp_out.flat_c, sp_out.flat_f, sp_out.band_over
 
     # ---- aux branch on owned band queries ----
     points_mean = flat_f[..., :3]
@@ -283,10 +317,59 @@ def forward_train_banded(params, state, batch, anchors, cfg: SASSDConfig,
     losses["band_overflow"] = jnp.sum(band_over.astype(jnp.float32))
 
     new_state = dict(state)
-    new_state["vxnet"] = vx_state
-    new_state["bevnet"] = bev_state
+    new_state["vxnet"] = sp_out.vx_state
+    new_state["bevnet"] = sp_out.bev_state
     new_state["pswarp"] = warp_state
     return losses, new_state
+
+
+def forward_test_banded(params, state, batch, anchors, cfg: SASSDConfig,
+                        spec: BandSpec, mesh: Mesh = None):
+    """detector.forward_test with the sparse stage banded over 'spatial' —
+    long-range INFERENCE on the same spatial mesh its training uses.
+
+    The heads (guided anchors, PSWarp rescoring, NMS) are identical to the
+    replicated path; only the spine is banded, so detections equal the
+    replicated run's up to float reduction order (tests/test_spatial.py).
+    No aux branch at inference (detector.forward_test:324-350).
+    """
+    cd = detector._compute_dtype(cfg)
+    sp_out = _banded_spine(params, state, batch, cfg, spec, mesh, train=False)
+    outs = ssd_head.head_apply(params["head"], sp_out.bev_map,
+                               cfg.model.num_class, cfg.model.box_code_size,
+                               cfg.model.num_anchor_per_loc,
+                               fold=cfg.model.fold_head)
+    ga = ssd_head.get_guided_anchors(
+        outs, anchors, batch["anchors_mask"], num_class=cfg.model.num_class,
+        thr=cfg.test.anchor_thr, cap=cfg.caps.guided_test)
+    scores, _ = pswarp.pswarp_apply(
+        params["pswarp"], state["pswarp"], sp_out.conv6, ga.boxes, ga.valid,
+        window_size=cfg.model.window_size,
+        grid_offsets=cfg.model.grid_offsets,
+        featmap_stride=cfg.model.featmap_stride, train=False,
+        compute_dtype=cd, packed=cfg.model.packed_warp)
+    db, ds, dl, dv = pswarp.rescore_and_nms(
+        ga.boxes, scores, ga.labels, ga.valid,
+        score_thr=cfg.test.score_thr, nms_iou_thr=cfg.test.nms_iou_thr,
+        max_det=cfg.caps.max_det, nms_pre=cfg.test.nms_pre)
+    return dict(boxes=db, scores=ds, labels=dl, valid=dv,
+                guided_truncated=ga.truncated)
+
+
+def make_banded_test_step(cfg: SASSDConfig, anchors, mesh: Mesh,
+                          spec: BandSpec, packed_layout=None):
+    """Jitted banded inference step (params/state/batch replicated in; the
+    banding itself shards the spine over 'spatial')."""
+    from sassd_tpu.train.loop import unpack_batch
+    repl = NamedSharding(mesh, P())
+
+    def step(params, state, batch):
+        if packed_layout is not None:
+            batch = unpack_batch(batch, packed_layout)
+        return forward_test_banded(params, state, batch, anchors, cfg,
+                                   spec, mesh=mesh)
+
+    return jax.jit(step, in_shardings=(repl, repl, repl), out_shardings=repl)
 
 
 def make_banded_train_step(cfg: SASSDConfig, anchors, tx, mesh: Mesh,

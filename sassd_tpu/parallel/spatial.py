@@ -20,12 +20,15 @@ def bev_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "spatial", None, None))
 
 
-def make_spatial_test_step(cfg, anchors, mesh: Mesh):
+def make_spatial_test_step(cfg, anchors, mesh: Mesh, packed_layout=None):
     """Jitted inference with the dense BEV stage spatially sharded."""
     sh = bev_sharding(mesh)
     repl = NamedSharding(mesh, P())
 
     def step(params, state, batch):
+        if packed_layout is not None:
+            from sassd_tpu.train.loop import unpack_batch
+            batch = unpack_batch(batch, packed_layout)
         return detector.forward_test(params, state, batch, anchors, cfg,
                                      bev_sharding=sh)
 

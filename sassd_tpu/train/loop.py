@@ -211,6 +211,42 @@ def make_train_step(cfg: SASSDConfig, anchors, tx,
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
+def make_strategy_train_step(cfg: SASSDConfig, anchors, tx, mesh=None,
+                             packed_layout=None, logger=None):
+    """Dispatch the train step on cfg.parallel.strategy (ParallelConfig):
+    'data' (pure DP), 'spatial' (dense-BEV H-sharding), or 'banded'
+    (sparse-stage y-band sharding). The non-data strategies require a mesh
+    whose 'spatial' axis matches cfg.parallel.spatial (tools/train.py
+    builds it from the config)."""
+    strategy = cfg.parallel.strategy
+    if strategy == "data" or cfg.parallel.spatial <= 1:
+        if strategy != "data" and (logger or logging.getLogger("sassd")):
+            (logger or logging.getLogger("sassd")).warning(
+                "parallel.strategy=%r but parallel.spatial=%d; running "
+                "pure data-parallel", strategy, cfg.parallel.spatial)
+        return make_train_step(cfg, anchors, tx, mesh,
+                               packed_layout=packed_layout)
+    if mesh is None or "spatial" not in mesh.shape \
+            or mesh.shape["spatial"] != cfg.parallel.spatial:
+        raise ValueError(
+            f"parallel.strategy={strategy!r} needs a mesh with a "
+            f"'spatial' axis of size {cfg.parallel.spatial} "
+            f"(got {None if mesh is None else dict(mesh.shape)}); build it "
+            f"with parallel.mesh.make_mesh(spatial=cfg.parallel.spatial)")
+    if strategy == "spatial":
+        from sassd_tpu.parallel.spatial import make_spatial_train_step
+        return make_spatial_train_step(cfg, anchors, tx, mesh,
+                                       packed_layout=packed_layout)
+    if strategy == "banded":
+        from sassd_tpu.parallel import sparse_spatial as ss
+        spec = ss.make_band_spec(cfg, s=cfg.parallel.spatial,
+                                 cap_margin=cfg.parallel.band_cap_margin,
+                                 halo=cfg.parallel.band_halo)
+        return ss.make_banded_train_step(cfg, anchors, tx, mesh, spec,
+                                         packed_layout=packed_layout)
+    raise ValueError(f"unknown parallel.strategy {strategy!r}")
+
+
 class LogBuffer:
     """Running averages flushed every `interval` iters (mmcv LogBuffer).
 
@@ -266,6 +302,11 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     local_bs = bs // num_hosts
     if num_hosts > 1 and mesh is None:
         raise ValueError("multi-process training requires a device mesh")
+    if mesh is not None and bs % mesh.shape["data"]:
+        raise ValueError(
+            f"global batch_size {bs} not divisible by the mesh's data axis "
+            f"({mesh.shape['data']} = devices/spatial); raise batch_size or "
+            f"parallel.spatial")
     # epoch_indices pads (by wrapping) to a multiple of the global batch, so
     # every host sees the same number of steps: ceil(N / global_bs).
     steps_per_epoch = max(-(-len(dataset) // bs), 1)
@@ -299,8 +340,9 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     # pack each batch into one h2d buffer per dtype (see batch_pack_layout)
     from sassd_tpu.data.loader import collate
     layout = batch_pack_layout(collate([dataset[0]] * local_bs)[0])
-    train_step = make_train_step(cfg, anchors, tx, mesh,
-                                 packed_layout=layout)
+    train_step = make_strategy_train_step(cfg, anchors, tx, mesh,
+                                          packed_layout=layout,
+                                          logger=logger)
 
     end_epoch = total_epochs
     if epochs_per_run is not None:

@@ -164,3 +164,100 @@ def test_train_gradients_device_plans_match_host_plans():
     for a, b in zip(flat_h, flat_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-4)
+
+
+def test_sorted_lookup_plans_match_dense():
+    """Round-5 sorted-window plan resolution (lookup_sorted3 — no dense
+    index map) must produce IDENTICAL plans to the dense-map path for
+    subm, stride, transpose-stride, and aux builders."""
+    shape = (6, 10, 9)
+    rng = np.random.default_rng(5)
+    keys = random_keys(rng, shape, 50, 64)
+    imap = sp.build_index_map(keys, shape)
+
+    subm_d = sp.build_subm_plan(keys, shape, index_map=imap)
+    subm_s = sp.build_subm_plan(keys, shape, sorted_lookup=True)
+    np.testing.assert_array_equal(np.asarray(subm_d.found),
+                                  np.asarray(subm_s.found))
+    f = np.asarray(subm_d.found)
+    np.testing.assert_array_equal(np.asarray(subm_d.idx)[f],
+                                  np.asarray(subm_s.idx)[f])
+
+    out_keys = sp.downsample_keys(keys, shape, 48)
+    st_d = sp.build_stride_plan(keys, out_keys, shape, index_map=imap)
+    st_s = sp.build_stride_plan(keys, out_keys, shape, sorted_lookup=True)
+    np.testing.assert_array_equal(np.asarray(st_d.found),
+                                  np.asarray(st_s.found))
+    f = np.asarray(st_d.found)
+    np.testing.assert_array_equal(np.asarray(st_d.idx)[f],
+                                  np.asarray(st_s.idx)[f])
+
+    out_shape = sp.out_shape_stride2(shape)
+    omap = sp.build_index_map(out_keys, out_shape)
+    t_d = sp.build_stride_plan_T(keys, shape, omap)
+    t_s = sp.build_stride_plan_T(keys, shape, out_sorted_keys=out_keys)
+    np.testing.assert_array_equal(np.asarray(t_d.found),
+                                  np.asarray(t_s.found))
+    f = np.asarray(t_d.found)
+    np.testing.assert_array_equal(np.asarray(t_d.idx)[f],
+                                  np.asarray(t_s.idx)[f])
+
+    cell0 = sp.keys_to_coords(keys, shape)
+    aux_d = np.asarray(sp.build_aux_plan(cell0, 1, omap, out_shape))
+    aux_s = np.asarray(sp.build_aux_plan(cell0, 1, None, out_shape,
+                                         level_sorted_keys=out_keys))
+    np.testing.assert_array_equal(aux_d, aux_s)
+
+
+def test_forward_test_sorted_plans_match_dense():
+    """End-to-end inference detections: plan_lookup='sorted' == 'dense'."""
+    cfg = tiny_config()
+    from sassd_tpu.data.synthetic import make_random_batch
+    from sassd_tpu.data.kitti import build_anchors
+
+    rng = np.random.default_rng(6)
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, rng, batch_size=1, n_points=400).items()
+        if not k.startswith("plan_")}
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+
+    cfg_s = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, plan_lookup="sorted"))
+    cfg_d = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, plan_lookup="dense"))
+    det_s = detector.forward_test(params, state, batch, anchors, cfg_s)
+    det_d = detector.forward_test(params, state, batch, anchors, cfg_d)
+    np.testing.assert_array_equal(np.asarray(det_s["valid"]),
+                                  np.asarray(det_d["valid"]))
+    v = np.asarray(det_d["valid"])
+    np.testing.assert_allclose(np.asarray(det_s["boxes"])[v],
+                               np.asarray(det_d["boxes"])[v],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(det_s["scores"])[v],
+                               np.asarray(det_d["scores"])[v],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_downsample_with_map_matches_sort_path():
+    """downsample_keys_with_map == downsample_keys + build_index_map
+    (keys AND map), including cap truncation and y_limit_out."""
+    rng = np.random.default_rng(7)
+    shape = (6, 20, 17)
+    total = 6 * 20 * 17
+    for trial in range(4):
+        n = int(rng.integers(10, 60))
+        lin = np.sort(rng.choice(total, n, replace=False)).astype(np.int32)
+        keys = np.full((64,), sp.INVALID_KEY, np.int32)
+        keys[:n] = lin
+        keys = jnp.asarray(keys)
+        for cap in (8, 48, 96):
+            ref = sp.downsample_keys(keys, shape, cap)
+            ref_map = sp.build_index_map(ref, sp.out_shape_stride2(shape))
+            got, got_map = sp.downsample_keys_with_map(keys, shape, cap)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+            np.testing.assert_array_equal(np.asarray(ref_map),
+                                          np.asarray(got_map))
+        ref = sp.downsample_keys(keys, shape, 48, y_limit_out=7)
+        got, _ = sp.downsample_keys_with_map(keys, shape, 48, y_limit_out=7)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

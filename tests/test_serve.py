@@ -186,3 +186,36 @@ def test_points_view_sample_layout(setup):
     assert s["points"].dtype == np.float32
     assert int(s["n_points"]) > 0
     assert s["meta"]["sample_idx"] == 0
+
+
+def test_separable_anchors_mask_matches_gather():
+    """anchors_mask_jax_separable (round 5: gather-free corner lookups) ==
+    anchors_mask_jax on both single- and multi-class anchor grids."""
+    import jax.numpy as jnp
+    from sassd_tpu import serve
+    from sassd_tpu.config import multi_config
+    from sassd_tpu.data.kitti import build_anchors
+    from tiny_config import tiny_config
+
+    for cfg in (tiny_config(), multi_config()):
+        _, anchors_bv = build_anchors(cfg)
+        corners = jnp.asarray(serve.anchor_corner_indices(
+            anchors_bv, cfg.voxel.voxel_size, cfg.voxel.point_cloud_range,
+            cfg.voxel.grid_size))
+        sep = serve.separable_corners(anchors_bv, cfg)
+        assert sep is not None
+        rng = np.random.default_rng(0)
+        d, h, w = cfg.sparse_shape
+        n = 200
+        coords = np.full((512, 3), -1, np.int32)
+        coords[:n, 0] = rng.integers(0, d, n)
+        coords[:n, 1] = rng.integers(0, h, n)
+        coords[:n, 2] = rng.integers(0, w, n)
+        gh, gw = int(cfg.voxel.grid_size[1]), int(cfg.voxel.grid_size[0])
+        ref = serve.anchors_mask_jax(jnp.asarray(coords), corners, (gh, gw),
+                                     cfg.data.anchor_area_threshold)
+        got = serve.anchors_mask_jax_separable(
+            jnp.asarray(coords), sep, cfg.model.num_anchor_per_loc,
+            (gh, gw), cfg.data.anchor_area_threshold)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        assert int(np.asarray(ref).sum()) > 0

@@ -161,3 +161,81 @@ def test_spatial_train_step_guards_nonfinite():
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(jax.device_get(p))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_banded_inference_matches_replicated():
+    """forward_test_banded (round 5): banded detections == replicated
+    detections — the spine is banded, the heads are identical."""
+    from sassd_tpu.parallel import sparse_spatial as ss
+    cfg = _tall_config()
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(5), batch_size=2, n_points=900).items()
+        if not k.startswith("plan_")}
+
+    ref = detector.forward_test(params, state, batch, anchors, cfg)
+    spec = ss.make_band_spec(cfg, s=2)
+    got = ss.forward_test_banded(params, state, batch, anchors, cfg, spec)
+
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    np.testing.assert_allclose(np.asarray(got["boxes"])[v],
+                               np.asarray(ref["boxes"])[v], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["scores"])[v],
+                               np.asarray(ref["scores"])[v], atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_banded_test_step_on_mesh_matches_replicated():
+    """The jitted banded test step on a data x spatial mesh == replicated."""
+    from sassd_tpu.parallel import sparse_spatial as ss
+    cfg = _tall_config()
+    mesh = mesh_lib.make_mesh(8, spatial=2)
+    spec = ss.make_band_spec(cfg, s=2)
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(6), batch_size=2, n_points=900).items()
+        if not k.startswith("plan_")}
+    ref = detector.forward_test(params, state, batch, anchors, cfg)
+    step = ss.make_banded_test_step(cfg, anchors, mesh, spec)
+    p, s, b = (mesh_lib.replicate(mesh, t) for t in (params, state, batch))
+    got = step(p, s, b)
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    np.testing.assert_allclose(np.asarray(got["boxes"])[v],
+                               np.asarray(ref["boxes"])[v], atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_strategy_dispatch_selects_banded_step():
+    """ParallelConfig.strategy='banded' reaches the banded step through the
+    generic train-loop dispatcher (the user-facing config path)."""
+    import dataclasses
+    from sassd_tpu.config import ParallelConfig
+    from sassd_tpu.train import optim
+    from sassd_tpu.train.loop import make_strategy_train_step
+    cfg = dataclasses.replace(
+        _tall_config(), parallel=ParallelConfig(strategy="banded", spatial=2))
+    mesh = mesh_lib.make_mesh(8, spatial=2)
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(build_anchors(cfg)[0])
+    tx = optim.make_optimizer(cfg.train, 100)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in make_random_batch(
+        cfg, np.random.default_rng(7), batch_size=4, n_points=600).items()
+        if not k.startswith("plan_")}
+    step = make_strategy_train_step(cfg, anchors, tx, mesh)
+    p, s, o = (mesh_lib.replicate(mesh, t) for t in (params, state, opt_state))
+    db = mesh_lib.shard_batch(mesh, batch)
+    p, s, o, metrics = step(p, s, o, db)
+    assert "band_overflow" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+
+    # wrong mesh for the strategy must be loud, not silently data-parallel
+    bad_mesh = mesh_lib.make_mesh(8, spatial=4)
+    with pytest.raises(ValueError, match="spatial"):
+        make_strategy_train_step(cfg, anchors, tx, bad_mesh)

@@ -88,7 +88,9 @@ def main():
             cfg.data.root, "ImageSets", "train.txt")
 
     dataset = KittiDataset(cfg, data_root, split)
-    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    spatial = cfg.parallel.spatial if cfg.parallel.strategy != "data" else 1
+    mesh = (mesh_lib.make_mesh(spatial=spatial)
+            if len(jax.devices()) > 1 or spatial > 1 else None)
 
     epoch_callback = None
     if args.eval_interval:
