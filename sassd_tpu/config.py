@@ -40,7 +40,16 @@ class Caps:
     max_points_per_scan: int = 65536   # raw points fed to device voxelizer
     max_gt: int = 64                   # GT boxes per sample
     level_caps: Tuple[int, int, int, int] = (20000, 18432, 14336, 10240)
-    guided_train: int = 640            # guided anchors per sample at train
+    guided_train: int = 640            # guided anchors per sample at train.
+                                       # The reference keeps ALL anchors
+                                       # passing score>thr; overflow here is
+                                       # counted by the guided_truncated
+                                       # train metric and train_model warns
+                                       # when it is sustained. 1280 measured
+                                       # truncation-free at KITTI density
+                                       # (VALIDATION.md round 4) at +9%
+                                       # step time; 640 truncates only in
+                                       # the densest early-training windows
     guided_test: int = 2048            # guided anchors per sample at test
                                        # (reference keeps ALL anchors passing
                                        # score>thr, ssd_rotate_head.py:307-372;

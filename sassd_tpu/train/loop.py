@@ -367,6 +367,7 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         bidx = start_batch
+        truncation_warned = False        # warn at most once per epoch
         for batch, _metas in iterate_batches(
                 dataset, local_bs, epoch=epoch, seed=cfg.train.seed,
                 shuffle=True, num_shards=num_hosts, shard_id=host_id,
@@ -398,6 +399,21 @@ def train_model(cfg: SASSDConfig, dataset, *, work_dir: Optional[str] = None,
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
                 logger.info("epoch %d step %d lr %.5f mom %.3f %s",
                             epoch, step, lr, mom, msg)
+                # the reference keeps EVERY anchor passing score>thr
+                # (ssd_rotate_head.py:307-372); sustained truncation by
+                # caps.guided_train diverges from that semantics — surface
+                # it loudly, once per epoch (VALIDATION.md measured
+                # guided_train=1280 as the zero-truncation setting)
+                if (avg.get("guided_truncated", 0.0) > 0.5
+                        and not truncation_warned):
+                    truncation_warned = True
+                    logger.warning(
+                        "guided-anchor truncation: %.1f anchors/sample "
+                        "dropped by caps.guided_train=%d this window — "
+                        "the reference keeps all passing anchors; raise "
+                        "guided_train (1280 measured truncation-free on "
+                        "KITTI-density scenes, VALIDATION.md) for parity",
+                        avg["guided_truncated"], cfg.caps.guided_train)
                 buf.clear()
         start_batch = 0                  # fast-forward applies once
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)

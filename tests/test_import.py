@@ -18,7 +18,11 @@ from import_reference_checkpoint import convert, check_against_config
 from sassd_tpu.config import car_config, multi_config
 
 
-def _rng_sd(num_class=1):
+def _rng_sd(num_class=1, bev_channels=256, bev_in=320, num_parts=28):
+    """Reference-layout state_dict with random weights. bev_channels/bev_in/
+    num_parts parameterize the BEV widths so the end-to-end import drill
+    (test_import_drill.py) can run at tiny-config scale; the defaults are
+    the real reference widths (cmn.py:233-262)."""
     r = np.random.RandomState(0)
 
     sd = {}
@@ -53,13 +57,14 @@ def _rng_sd(num_class=1):
     bn("neck.backbone.extra_conv.1", 64)
 
     # BEVNet (cmn.py:233-262): in = 64 channels * D=5 after z-fold
-    add("neck.fcn.conv0.weight", 256, 320, 3, 3)
-    bn("neck.fcn.bn0", 256)
+    c = bev_channels
+    add("neck.fcn.conv0.weight", c, bev_in, 3, 3)
+    bn("neck.fcn.bn0", c)
     for i in range(1, 7):
-        add(f"neck.fcn.conv{i}.weight", 256, 256, 3, 3)
-        bn(f"neck.fcn.bn{i}", 256)
-    add("neck.fcn.conv7.weight", 256, 256, 1, 1)
-    bn("neck.fcn.bn7", 256)
+        add(f"neck.fcn.conv{i}.weight", c, c, 3, 3)
+        bn(f"neck.fcn.bn{i}", c)
+    add("neck.fcn.conv7.weight", c, c, 1, 1)
+    bn("neck.fcn.bn7", c)
 
     # aux point branch (cmn.py:27-29), torch Linear [out, in], bias-free
     add("neck.point_fc.weight", 64, 160)
@@ -69,17 +74,17 @@ def _rng_sd(num_class=1):
     # SSDRotateHead: num_anchor_per_loc = 2 * num_class
     # (ssd_rotate_head.py:104,120-125): cls = npl*C, box = npl*7, dir = npl*2
     npl = 2 * num_class
-    add("bbox_head.conv_cls.weight", npl * num_class, 256, 1, 1)
+    add("bbox_head.conv_cls.weight", npl * num_class, c, 1, 1)
     add("bbox_head.conv_cls.bias", npl * num_class)
-    add("bbox_head.conv_box.weight", npl * 7, 256, 1, 1)
+    add("bbox_head.conv_box.weight", npl * 7, c, 1, 1)
     add("bbox_head.conv_box.bias", npl * 7)
-    add("bbox_head.conv_dir_cls.weight", npl * 2, 256, 1, 1)
+    add("bbox_head.conv_dir_cls.weight", npl * 2, c, 1, 1)
     add("bbox_head.conv_dir_cls.bias", npl * 2)
 
     # PSWarpHead convs: Conv3x3 / BN / ReLU / Conv1x1, 28 parts
-    add("extra_head.convs.0.weight", 28, 256, 3, 3)
-    bn("extra_head.convs.1", 28)
-    add("extra_head.convs.3.weight", 28, 28, 1, 1)
+    add("extra_head.convs.0.weight", num_parts, c, 3, 3)
+    bn("extra_head.convs.1", num_parts)
+    add("extra_head.convs.3.weight", num_parts, num_parts, 1, 1)
 
     return sd
 

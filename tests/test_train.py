@@ -316,3 +316,32 @@ def test_host_stager_pack_matches_pack_batch():
     got = st.pack(partial, layout)
     for g in ref:
         assert np.array_equal(ref[g], got[g])
+
+
+def test_guided_truncation_warning_logged(tmp_path, caplog):
+    """A config whose guided_train cap truncates on dense scenes must
+    surface a WARNING in the training log (the reference keeps all passing
+    anchors, so sustained truncation is a parity divergence)."""
+    import dataclasses
+    import logging
+
+    from sassd_tpu.data import synthetic
+    from sassd_tpu.data.kitti import KittiDataset
+
+    root = tmp_path / "kitti"
+    synthetic.write_synthetic_kitti(root, n_train=2, n_val=1, seed=0)
+    c = tiny_config()
+    cfg = dataclasses.replace(
+        c,
+        caps=dataclasses.replace(c.caps, guided_train=16),  # force drops
+        train=dataclasses.replace(c.train, batch_size=2, log_interval=1,
+                                  checkpoint_interval=10),
+    )
+    ds = KittiDataset(cfg, root / "training", root / "ImageSets" / "train.txt")
+    logger = logging.getLogger("sassd_trunc_test")
+    with caplog.at_level(logging.WARNING, logger="sassd_trunc_test"):
+        loop.train_model(cfg, ds, work_dir=str(tmp_path / "w"),
+                         total_epochs=1, resume=False, logger=logger)
+    warnings = [r for r in caplog.records
+                if "guided-anchor truncation" in r.getMessage()]
+    assert len(warnings) == 1          # once per epoch, not per window
