@@ -80,6 +80,13 @@ def conv2d(p, x, stride: int = 1, compute_dtype=None):
     still accumulates in f32 internally, and a homogeneous-dtype conv keeps
     the autodiff transpose well-typed (an f32 cotangent against bf16 weights
     is rejected by lax.conv_general_dilated).
+
+    NUMERICS NOTE (round-4 change, flagged in ADVICE r4): per-element
+    outputs are therefore rounded to bf16 BEFORE the bias add, a one-ulp
+    (bf16) change vs the previous preferred_element_type=f32 form. bf16
+    configs should expect eval-metric drift at that tolerance; fp32
+    configs (the default — bf16 measured speed-neutral, PERF.md round 5)
+    are unaffected.
     """
     w = p["w"]
     mixed = compute_dtype is not None and compute_dtype != jnp.float32
