@@ -193,8 +193,16 @@ def main():
     pts_layout = batch_pack_layout(
         {"points": pts_view[0][0][None],
          "n_points": np.asarray([pts_view[0][1]])})
+    persistent = cfg.test.serve_persistent_plans
     serve_step = serve.make_serving_step(cfg, anchors_np, anchors_bv,
-                                         packed_layout=pts_layout)
+                                         packed_layout=pts_layout,
+                                         persistent_plans=persistent)
+
+    def run_serve(carry, batch):
+        if persistent:
+            dets, carry = serve_step(params, state, carry, batch)
+            return dets, carry
+        return serve_step(params, state, batch), None
 
     def serve_host_work(scan, out=None):
         pts, n = serve.prepare_points(scan, cfg, out=out)
@@ -205,28 +213,30 @@ def main():
                    for k, v in pack_batch(serve_host_work(s),
                                           pts_layout).items()}
                   for s in scenes]
-    out = serve_step(params, state, staged_pts[0])
+    carry = serve.init_plan_carry(cfg) if persistent else None
+    out, carry = run_serve(carry, staged_pts[0])
     jax.block_until_ready(out)
     for b in staged_pts[:3]:
-        jax.block_until_ready(serve_step(params, state, b))
+        out, carry = run_serve(carry, b)
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = serve_step(params, state, staged_pts[i % n_scans])
+        out, carry = run_serve(carry, staged_pts[i % n_scans])
     jax.block_until_ready(out)
     serve_device_sps = iters / (time.perf_counter() - t0)
 
     # (d2) sustained: crop+pad (the whole host leg) + staged h2d, one step
     # in flight
     serve_stager = HostStager(depth=2)
-    jax.block_until_ready(serve_step(
-        params, state, serve_stager.pack(serve_host_work(scenes[0]),
-                                         pts_layout)))
+    out, carry = run_serve(carry, serve_stager.pack(
+        serve_host_work(scenes[0]), pts_layout))
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     prev = None
     for i in range(sustained_iters):
         b = serve_stager.pack(serve_host_work(scenes[i % n_scans]),
                               pts_layout)
-        cur = serve_step(params, state, b)
+        cur, carry = run_serve(carry, b)
         if prev is not None:
             jax.block_until_ready(prev)
         prev = cur

@@ -218,6 +218,14 @@ class TestConfig:
     nms_pre: int = 2000                # candidates kept before NMS
                                        # (test_cfg.extra.nms_pre,
                                        # car_cfg.py:74)
+    serve_persistent_plans: bool = True
+                                       # points-mode serving at batch_size=1:
+                                       # carry the plan index maps ACROSS
+                                       # scans (donated buffers; each step
+                                       # delta-clears the previous scan's
+                                       # rows instead of refilling ~410 MB
+                                       # of dense maps). Identical
+                                       # detections (tests/test_serve.py)
     device_input: str = "voxels"       # "voxels": the loader voxelizes and
                                        # builds plans/mask on the host (fast
                                        # on well-attached multi-core hosts);

@@ -46,15 +46,27 @@ def run_inference(cfg: SASSDConfig, dataset, params, state,
     logger = logger or logging.getLogger("sassd")
     anchors = jnp.asarray(dataset.anchors)
     src = dataset
+    carry = None
     if cfg.test.device_input == "points":
         # device-resident serving: ship only raw padded points; voxelize,
         # sparse-conv plans and the anchors mask run inside the XLA graph
         from sassd_tpu import serve
         src = serve.PointsView(dataset, cfg)
         layout = batch_pack_layout(collate([src[0]] * batch_size)[0])
-        step = serve.make_serving_step(cfg, dataset.anchors,
-                                       dataset.anchors_bv,
-                                       packed_layout=layout)
+        persistent = cfg.test.serve_persistent_plans and batch_size == 1
+        base_step = serve.make_serving_step(cfg, dataset.anchors,
+                                            dataset.anchors_bv,
+                                            packed_layout=layout,
+                                            persistent_plans=persistent)
+        if persistent:
+            carry = serve.init_plan_carry(cfg)
+
+            def step(params, state, batch, _s=base_step):
+                nonlocal carry
+                dets, carry = _s(params, state, carry, batch)
+                return dets
+        else:
+            step = base_step
     elif cfg.parallel.strategy != "data" and cfg.parallel.spatial > 1:
         # spatially sharded inference (ParallelConfig): dense-BEV H-sharding
         # or full banded sparse-stage sharding over a data x spatial mesh

@@ -27,6 +27,7 @@ inference.run_inference honor it); `bench.py` measures both serving modes.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -201,8 +202,15 @@ def batch_from_points(points: jnp.ndarray, n_points: jnp.ndarray,
     """
     p = points.shape[1]
     valid = jnp.arange(p)[None, :] < n_points[:, None]
-    voxels, coords, nums = jax.vmap(
-        lambda pt, va: voxelize_jax(pt, va, cfg.voxel))(points, valid)
+    if points.shape[0] == 1:
+        # B=1 (the serving case): skip the batch vmap — B=1 vmaps of the
+        # voxelizer's sort/scan lower measurably worse on v5e (same
+        # finding as the backbone's de-vmapped downsample, PERF.md r5)
+        voxels, coords, nums = (x[None] for x in voxelize_jax(
+            points[0], valid[0], cfg.voxel))
+    else:
+        voxels, coords, nums = jax.vmap(
+            lambda pt, va: voxelize_jax(pt, va, cfg.voxel))(points, valid)
     gh, gw = int(cfg.voxel.grid_size[1]), int(cfg.voxel.grid_size[0])
     if sep is not None:
         mask = jax.vmap(lambda c: anchors_mask_jax_separable(
@@ -215,8 +223,74 @@ def batch_from_points(points: jnp.ndarray, n_points: jnp.ndarray,
                 anchors_mask=mask)
 
 
+def init_plan_carry(cfg: SASSDConfig):
+    """Persistent dense index maps for carry-style serving (see
+    make_serving_step(persistent_plans=True)): one [D*H*W] int32 map per
+    plan-building level plus the previous scan's active keys. Allocated
+    ONCE; each step clears the previous keys' rows and scatters the new
+    ones — ~50k scatter rows instead of ~410 MB of map fills per scan.
+    """
+    from sassd_tpu.ops import sparse as sp
+    shapes = [cfg.sparse_shape]
+    for _ in range(2):
+        shapes.append(sp.out_shape_stride2(shapes[-1]))
+    caps = cfg.caps.level_caps
+    carry = {}
+    for lvl, shp in enumerate(shapes):
+        total = int(np.prod(shp))
+        carry[f"map{lvl}"] = jnp.full((total,), -1, jnp.int32)
+        carry[f"keys{lvl}"] = jnp.full((caps[lvl],), sp.INVALID_KEY,
+                                       jnp.int32)
+    return carry
+
+
+def _plans_from_carry(coords0: jnp.ndarray, carry: Dict, cfg: SASSDConfig):
+    """Build the full serving plan set (host_plans-format dict) from raw
+    level-0 coords using PERSISTENT index maps.
+
+    coords0 [cap0, 3] (single sample). Returns (plans dict with [1, ...]
+    batch dims, new carry). Plans are identical to the per-scan path
+    (tests/test_serve.py): the maps differ only in how the -1 background
+    is produced (delta-clear vs full fill).
+    """
+    from sassd_tpu.ops import sparse as sp
+    shapes = [cfg.sparse_shape]
+    for _ in range(2):
+        shapes.append(sp.out_shape_stride2(shapes[-1]))
+    caps = cfg.caps.level_caps
+
+    def update_map(m, prev_keys, keys):
+        total = m.shape[0]
+        pk = jnp.where(prev_keys != sp.INVALID_KEY, prev_keys, total)
+        m = m.at[pk].set(-1, mode="drop")
+        rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        nk = jnp.where(keys != sp.INVALID_KEY, keys, total)
+        return m.at[nk].set(rows, mode="drop")
+
+    def asplan(plan: sp.SubmPlan):
+        return jnp.where(plan.found, plan.idx, -1).astype(jnp.int32)[None]
+
+    plans, new_carry = {}, {}
+    keys = sp.coords_to_keys(coords0, shapes[0])
+    coords = coords0
+    for lvl, shp in enumerate(shapes):
+        m = update_map(carry[f"map{lvl}"], carry[f"keys{lvl}"], keys)
+        new_carry[f"map{lvl}"] = m
+        new_carry[f"keys{lvl}"] = keys
+        plans[f"subm{lvl}"] = asplan(sp.build_subm_plan(
+            keys, shp, index_map=m))
+        out_keys = sp.downsample_keys(keys, shp, caps[lvl + 1])
+        plans[f"stride{lvl + 1}"] = asplan(sp.build_stride_plan(
+            keys, out_keys, shp, index_map=m))
+        keys = out_keys
+        coords = sp.keys_to_coords(keys, sp.out_shape_stride2(shp))
+        plans[f"coords{lvl + 1}"] = coords[None]
+    return plans, new_carry
+
+
 def make_serving_step(cfg: SASSDConfig, anchors_np: np.ndarray,
-                      anchors_bv_np: np.ndarray, packed_layout=None):
+                      anchors_bv_np: np.ndarray, packed_layout=None,
+                      persistent_plans: bool = False):
     """Jitted step(params, state, batch) -> dets, where batch is
     dict(points [B,P,F] f32, n_points [B] int32) — or the pack_batch()-ed
     form of it when `packed_layout` is given (train.loop.batch_pack_layout;
@@ -224,6 +298,13 @@ def make_serving_step(cfg: SASSDConfig, anchors_np: np.ndarray,
 
     The graph runs the device-plans sparse path regardless of
     cfg.model.host_plans (there is no loader to build plans here).
+
+    persistent_plans (bs=1 only): plan index maps live ACROSS scans as a
+    donated carry — each step delta-clears the previous scan's rows
+    instead of refilling ~410 MB of dense maps. The step then has
+    signature step(params, state, carry, batch) -> (dets, carry) with
+    carry from init_plan_carry(cfg); detections are identical either way
+    (tests/test_serve.py).
     """
     corners = jnp.asarray(anchor_corner_indices(
         anchors_bv_np, cfg.voxel.voxel_size, cfg.voxel.point_cloud_range,
@@ -231,11 +312,28 @@ def make_serving_step(cfg: SASSDConfig, anchors_np: np.ndarray,
     sep = separable_corners(anchors_bv_np, cfg)
     anchors = jnp.asarray(anchors_np)
 
-    @jax.jit
-    def step(params, state, batch):
+    def unpack(batch):
         if packed_layout is not None:
             from sassd_tpu.train.loop import unpack_batch
             batch = unpack_batch(batch, packed_layout)
+        return batch
+
+    if persistent_plans:
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def step_p(params, state, carry, batch):
+            batch = unpack(batch)
+            full = batch_from_points(batch["points"], batch["n_points"],
+                                     corners, cfg, sep=sep)
+            plans, carry = _plans_from_carry(full["coords"][0], carry, cfg)
+            full.update({f"plan_{k}": v for k, v in plans.items()})
+            return detector.forward_test(params, state, full, anchors,
+                                         cfg), carry
+
+        return step_p
+
+    @jax.jit
+    def step(params, state, batch):
+        batch = unpack(batch)
         full = batch_from_points(batch["points"], batch["n_points"],
                                  corners, cfg, sep=sep)
         return detector.forward_test(params, state, full, anchors, cfg)

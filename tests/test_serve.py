@@ -219,3 +219,38 @@ def test_separable_anchors_mask_matches_gather():
             (gh, gw), cfg.data.anchor_area_threshold)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
         assert int(np.asarray(ref).sum()) > 0
+
+
+def test_persistent_plan_carry_matches_per_scan(setup):
+    """make_serving_step(persistent_plans=True): detections over a SEQUENCE
+    of scans (the carry path re-used scan-to-scan, delta-clearing the
+    previous scan's index-map rows) == the per-scan rebuild path."""
+    from sassd_tpu.data.kitti import build_anchors
+    from tiny_config import tiny_config
+
+    cfg = tiny_config()
+    anchors_np, anchors_bv = build_anchors(cfg)
+    params, state = detector.detector_init(jax.random.PRNGKey(0), cfg)
+    step = serve.make_serving_step(cfg, anchors_np, anchors_bv)
+    step_p = serve.make_serving_step(cfg, anchors_np, anchors_bv,
+                                     persistent_plans=True)
+    carry = serve.init_plan_carry(cfg)
+    rng = np.random.default_rng(11)
+    pcr = cfg.voxel.point_cloud_range
+    for i in range(3):
+        n_pts = int(rng.integers(300, 900))
+        pts = np.zeros((n_pts, 4), np.float32)
+        pts[:, 0] = rng.uniform(pcr[0], pcr[3], n_pts)
+        pts[:, 1] = rng.uniform(pcr[1], pcr[4], n_pts)
+        pts[:, 2] = rng.uniform(pcr[2], pcr[5], n_pts)
+        p, n = serve.prepare_points(pts, cfg)
+        batch = dict(points=jnp.asarray(p[None]),
+                     n_points=jnp.asarray(np.array([n])))
+        ref = step(params, state, batch)
+        got, carry = step_p(params, state, carry, batch)
+        np.testing.assert_array_equal(np.asarray(ref["valid"]),
+                                      np.asarray(got["valid"]))
+        v = np.asarray(ref["valid"])
+        np.testing.assert_allclose(np.asarray(ref["boxes"])[v],
+                                   np.asarray(got["boxes"])[v],
+                                   rtol=1e-6, atol=1e-6)
