@@ -324,6 +324,9 @@ def make_serving_step(cfg: SASSDConfig, anchors_np: np.ndarray,
             batch = unpack(batch)
             full = batch_from_points(batch["points"], batch["n_points"],
                                      corners, cfg, sep=sep)
+            if full["coords"].shape[0] != 1:
+                raise ValueError("persistent_plans serving is batch_size=1 "
+                                 "only (one carry per scan stream)")
             plans, carry = _plans_from_carry(full["coords"][0], carry, cfg)
             full.update({f"plan_{k}": v for k, v in plans.items()})
             return detector.forward_test(params, state, full, anchors,
