@@ -18,6 +18,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+# log-size decode clamp (see second_box_decode): exp(10) = 22026x the
+# anchor dim — far beyond any physical box, small enough that exp and its
+# gradient stay finite
+SIZE_DECODE_CLIP = 10.0
+
 
 # ---------------------------------------------------------------------------
 # angles
@@ -66,7 +71,16 @@ def second_box_encode(boxes, anchors):
 def second_box_decode(encodings, anchors):
     """Inverse of :func:`second_box_encode`.
 
-    Semantics of /root/reference/.../ssd_rotate_head.py:53-91.
+    Semantics of /root/reference/.../ssd_rotate_head.py:53-91, plus a
+    log-size clamp the reference lacks: the head decodes EVERY anchor's
+    residuals before guided selection, and one pathological size logit
+    > ~88 makes exp() infinite — whose backward is then 0 * inf = NaN for
+    the whole gradient even when the anchor contributes nothing to the
+    loss (zero cotangent). Observed freezing a full multi-class training
+    run at peak LR (round 5, exact-aux A/B arm: grad_norm=nan on 95% of
+    steps with finite losses). exp is clamped at SIZE_DECODE_CLIP = 10
+    (22026x the anchor dim — no physical box is affected; torch would
+    emit inf boxes/NaN grads identically at such residuals).
     """
     xa, ya, za, wa, la, ha, ra = jnp.split(anchors, 7, axis=-1)
     xt, yt, zt, wt, lt, ht, rt = jnp.split(encodings, 7, axis=-1)
@@ -75,9 +89,9 @@ def second_box_decode(encodings, anchors):
     xg = xt * diagonal + xa
     yg = yt * diagonal + ya
     zg = zt * ha + za
-    wg = jnp.exp(wt) * wa
-    lg = jnp.exp(lt) * la
-    hg = jnp.exp(ht) * ha
+    wg = jnp.exp(jnp.minimum(wt, SIZE_DECODE_CLIP)) * wa
+    lg = jnp.exp(jnp.minimum(lt, SIZE_DECODE_CLIP)) * la
+    hg = jnp.exp(jnp.minimum(ht, SIZE_DECODE_CLIP)) * ha
     rg = rt + ra
     zg = zg - hg * 0.5
     return jnp.concatenate([xg, yg, zg, wg, lg, hg, rg], axis=-1)
@@ -105,7 +119,9 @@ def bev_box_decode(encodings, anchors):
     xt, yt, wt, lt, rt = jnp.split(encodings, 5, axis=-1)
     diagonal = jnp.sqrt(la * la + wa * wa)
     return jnp.concatenate([xt * diagonal + xa, yt * diagonal + ya,
-                            jnp.exp(wt) * wa, jnp.exp(lt) * la, rt + ra],
+                            jnp.exp(jnp.minimum(wt, SIZE_DECODE_CLIP)) * wa,
+                            jnp.exp(jnp.minimum(lt, SIZE_DECODE_CLIP)) * la,
+                            rt + ra],
                            axis=-1)
 
 

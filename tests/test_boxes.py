@@ -170,3 +170,33 @@ def test_corner_box_coder_roundtrip():
     dyaw = np.arctan2(np.sin(dec[:, 6] - boxes[:, 6]),
                       np.cos(dec[:, 6] - boxes[:, 6]))
     np.testing.assert_allclose(dyaw, 0.0, atol=1e-3)
+
+
+def test_decode_grad_finite_at_pathological_residuals():
+    """Round-5 NaN regression (core/boxes.py SIZE_DECODE_CLIP): the head
+    decodes EVERY anchor before guided selection, so one size logit > ~88
+    used to make exp() infinite and the backward 0 * inf = NaN for the
+    whole gradient even with ZERO cotangent on that anchor (froze the
+    exact-aux A/B training run at peak LR). Decode gradients must stay
+    finite — and the decode itself exact — for absurd residuals."""
+    import jax
+    anchors = jnp.asarray([[1.0, 2.0, -1.0, 1.6, 3.9, 1.56, 0.3],
+                           [0.0, 0.0, -1.5, 0.6, 0.8, 1.73, 1.57]])
+    enc = jnp.asarray([[0.1, -0.2, 0.05, 0.2, -0.1, 0.02, 0.1],
+                       [0.0, 0.0, 0.0, 150.0, -200.0, 97.0, 0.0]])
+
+    # zero cotangent on the pathological row (it is "unselected")
+    cot = jnp.asarray([[1.0] * 7, [0.0] * 7])
+
+    def f(e):
+        return jnp.sum(B.second_box_decode(e, anchors) * cot)
+
+    g = jax.grad(f)(enc)
+    assert np.all(np.isfinite(np.asarray(g))), g
+    dec = np.asarray(B.second_box_decode(enc, anchors))
+    assert np.all(np.isfinite(dec[0])) and np.all(np.isfinite(dec[1]))
+    # realistic residuals (row 0) are untouched by the clamp: exact roundtrip
+    rt = np.asarray(B.second_box_encode(
+        B.second_box_decode(enc, anchors), anchors))
+    np.testing.assert_allclose(rt[0], np.asarray(enc)[0], rtol=1e-5,
+                               atol=1e-5)
