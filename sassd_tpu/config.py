@@ -218,7 +218,7 @@ class TestConfig:
     nms_pre: int = 2000                # candidates kept before NMS
                                        # (test_cfg.extra.nms_pre,
                                        # car_cfg.py:74)
-    serve_persistent_plans: bool = True
+    serve_persistent_plans: bool = False
                                        # points-mode serving at batch_size=1:
                                        # carry the plan index maps ACROSS
                                        # scans (donated buffers; each step
@@ -226,6 +226,11 @@ class TestConfig:
                                        # rows instead of refilling ~410 MB
                                        # of dense maps). Identical
                                        # detections (tests/test_serve.py)
+                                       # but MEASURED SLOWER on v5e (50.8
+                                       # vs 36.8 ms/scan — the carry
+                                       # round-trip costs more than the
+                                       # fills it saves; PERF.md round-5
+                                       # refutation ledger), so default off
     device_input: str = "voxels"       # "voxels": the loader voxelizes and
                                        # builds plans/mask on the host (fast
                                        # on well-attached multi-core hosts);

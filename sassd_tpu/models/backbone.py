@@ -145,7 +145,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 dense_tail: bool = True, triple_gather: bool = True,
                 store_im2col: bool = True, flat_batch: bool = True,
                 sorted_device_levels: bool = True,
-                plan_lookup: str = "sorted",
+                plan_lookup: str = "dense",
                 want_aux_plans: bool = False,
                 bn_owned_y: Tuple[int, int] = None,
                 y_top=None):
@@ -158,13 +158,14 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
       dense_index: resolve neighbors through per-level dense index maps
         (one scatter + one gather; the TPU-fast path) instead of binary
         search over sorted keys.
-      plan_lookup: with ON-DEVICE plans and sorted levels, "sorted"
-        resolves every plan lookup with windowed binary search over the
-        level's sorted keys — no [D*H*W] index map is ever materialized
-        (ops/sparse.py::lookup_sorted3; the serving-graph fast path, where
-        the full-res map cost ~25 ms/scan of HBM traffic). "dense" keeps
-        the index-map resolution. Ignored with host plans. Falls back to
-        "dense" when levels are not sorted (sorted_device_levels=False).
+      plan_lookup: on-device plan resolution backend. "dense" (default)
+        = per-level dense index maps + windowed slice-3 gathers. "sorted"
+        = windowed binary search over the level's sorted keys — no
+        [D*H*W] map materialized, but MEASURED 4x SLOWER on v5e
+        (searchsorted serializes ~15 gather rounds; PERF.md round-5
+        refutation ledger) — kept for grids too large to materialize.
+        Ignored with host plans; "sorted" needs sorted levels
+        (sorted_device_levels=True).
       host_plans: optional dict of C++-built gather plans (ops/native.py
         build_plans_cpp, batched): subm0..3 [B,27,capL], stride1..3,
         coords1..3 [B,capL,3]. When given, no active-set or neighbor work
@@ -303,7 +304,8 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                 planT = None
                 if train:
                     planT = jax.vmap(lambda ik, om: sp.build_stride_plan_T(
-                        ik, shape, om))(keys, imap_out)
+                        ik, shape, om,
+                        out_rows_cap=cap))(keys, imap_out)
         if planT is not None:
             if fb:
                 y = sp.stride_conv_hostT_batched(
@@ -370,12 +372,13 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             if imap1 is not None:
                 coords0 = jax.vmap(
                     lambda k: sp.keys_to_coords(k, sparse_shape))(keys0)
-                for lvl, (im, shp) in enumerate(
-                        [(imap1, shape1), (imap2, shape2), (imap3, shape3)],
-                        start=1):
+                for lvl, (im, shp, ks) in enumerate(
+                        [(imap1, shape1, keys1), (imap2, shape2, keys2),
+                         (imap3, shape3, keys3)], start=1):
                     aux_plans[f"aux{lvl}"] = jax.vmap(
-                        lambda c, m, _s=shp, _l=lvl: sp.build_aux_plan(
-                            c, _l, m, _s))(coords0, im)
+                        lambda c, m, _s=shp, _l=lvl,
+                        _cap=ks.shape[1]: sp.build_aux_plan(
+                            c, _l, m, _s, level_rows_cap=_cap))(coords0, im)
 
     def _ret(*core):
         return core + ((aux_plans,) if want_aux_plans else ())

@@ -150,7 +150,8 @@ def lookup_sorted3(sorted_keys: jnp.ndarray, start: jnp.ndarray):
     return rows, found
 
 
-def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray):
+def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray,
+                  rows_cap: int = None):
     """Gather index_map[start + j] for j=0..2 as ONE slice-3 gather per row.
 
     XLA TPU gather cost is per-row and width-independent (PERF.md), and the
@@ -177,14 +178,23 @@ def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray):
             rows.append(r)
         rows = jnp.stack(rows, axis=-1).reshape(start.shape + (3,))
         return jnp.maximum(rows, 0).astype(jnp.int32), rows >= 0
-    pad = jnp.full((2,), -1, index_map.dtype)
-    p = jnp.concatenate([pad[:1], index_map, pad])     # [total + 3]
     # materialized [total+1, 3] window table + 2-D row gather — the
     # per-row width-independent gather form (PERF.md); a vmapped
-    # dynamic_slice(3) lowers to a slow strided-slice gather on TPU
+    # dynamic_slice(3) lowers to a slow strided-slice gather on TPU.
+    # The table is int16 whenever the level's rows fit (cap <= 32767 —
+    # every standard config): the r5 device trace showed the L0 table's
+    # two 90M-row copy passes at ~7.2 ms/scan of pure HBM streaming, and
+    # halving the element width halves exactly that. (The int16 MAP was
+    # refuted in r4 — sub-word SCATTER is slow — but the table is built
+    # by wide streaming copies, where narrow elements only help.)
+    tdt = (jnp.int16 if rows_cap is not None and rows_cap <= 32767
+           else index_map.dtype)
+    m16 = index_map.astype(tdt)
+    pad = jnp.full((2,), -1, tdt)
+    p = jnp.concatenate([pad[:1], m16, pad])           # [total + 3]
     t = jnp.stack([p[:-2], p[1:-1], p[2:]], axis=-1)   # [total + 1, 3]
     s = jnp.clip(start + 1, 0, total)                  # row stays in range
-    rows = t[s.reshape(-1)].reshape(start.shape + (3,))
+    rows = t[s.reshape(-1)].reshape(start.shape + (3,)).astype(jnp.int32)
     return jnp.maximum(rows, 0), rows >= 0
 
 
@@ -217,7 +227,8 @@ USE_WINDOW_TABLE = _os.environ.get("SASSD_WINDOW_TABLE", "1") != "0"
 
 def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
                  index_map: jnp.ndarray = None,
-                 sorted_keys: jnp.ndarray = None) -> SubmPlan:
+                 sorted_keys: jnp.ndarray = None,
+                 rows_cap: int = None) -> SubmPlan:
     """27-tap plan (taps = base + off, (dz,dy,dx) row-major) via 9 windowed
     slice-3 lookups instead of 27 single-row lookups.
 
@@ -238,7 +249,8 @@ def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
         & (zq >= 0) & (zq < d) & (yq >= 0) & (yq < h)
     qmid = (zq * h + yq) * w + x[None]
     if index_map is not None:
-        rows3, fw = lookup_dense3(index_map, qmid - 1)        # [9, M, 3]
+        rows3, fw = lookup_dense3(index_map, qmid - 1,
+                                  rows_cap=rows_cap)          # [9, M, 3]
     else:
         safe = jnp.where(gok, qmid - 1, INVALID_KEY - 3)
         rows3, fw = lookup_sorted3(sorted_keys, safe)         # [9, M, 3]
@@ -268,7 +280,7 @@ def build_subm_plan(keys: jnp.ndarray, shape_zyx: Tuple[int, int, int],
                             sorted_keys=keys)
     if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
         return _window_plan(keys_to_coords(keys, shape_zyx), shape_zyx,
-                            index_map)
+                            index_map, rows_cap=keys.shape[0])
     d, h, w = shape_zyx
     coords = keys_to_coords(keys, shape_zyx)                  # [M, 3]
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
@@ -602,7 +614,8 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
         # so the windowed lookup applies unchanged (pad rows: 2*(-1) < 0)
         return _window_plan(2 * ocoords, in_shape, sorted_keys=in_keys)
     if index_map is not None and kernel == 3 and USE_WINDOW_PLANS:
-        return _window_plan(2 * ocoords, in_shape, index_map)
+        return _window_plan(2 * ocoords, in_shape, index_map,
+                            rows_cap=in_keys.shape[0])
     off = jnp.asarray(_offsets(kernel), jnp.int32)            # [K, 3]
     icoords = 2 * ocoords[None, :, :] + off[:, None, :]       # [K, Mo, 3]
     inb = jnp.all((icoords >= 0) & (icoords < jnp.asarray([d, h, w], jnp.int32)),
@@ -621,7 +634,8 @@ def build_stride_plan(in_keys: jnp.ndarray, out_keys: jnp.ndarray,
 def build_stride_plan_T(in_keys: jnp.ndarray,
                         in_shape: Tuple[int, int, int],
                         out_index_map: jnp.ndarray = None,
-                        out_sorted_keys: jnp.ndarray = None) -> SubmPlan:
+                        out_sorted_keys: jnp.ndarray = None,
+                        out_rows_cap: int = None) -> SubmPlan:
     """TRANSPOSE plan of a stride-2 k3 p1 conv, built ON DEVICE.
 
     For each INPUT voxel with coordinate c and tap offset off_k, the output
@@ -647,7 +661,8 @@ def build_stride_plan_T(in_keys: jnp.ndarray,
     s = (x - 1) // 2                                          # window start
     qstart = ((cz // 2) * oh + (cy // 2)) * ow + s[None]
     if out_index_map is not None:
-        rows3, fw = lookup_dense3(out_index_map, qstart)      # [9, M, 3]
+        rows3, fw = lookup_dense3(out_index_map, qstart,
+                                  rows_cap=out_rows_cap)      # [9, M, 3]
     else:
         safe = jnp.where(gok, qstart, INVALID_KEY - 3)
         rows3, fw = lookup_sorted3(out_sorted_keys, safe)     # [9, M, 3]
@@ -672,7 +687,8 @@ def build_stride_plan_T(in_keys: jnp.ndarray,
 def build_aux_plan(cell0_zyx: jnp.ndarray, level: int,
                    level_index_map: jnp.ndarray,
                    level_shape: Tuple[int, int, int],
-                   level_sorted_keys: jnp.ndarray = None) -> jnp.ndarray:
+                   level_sorted_keys: jnp.ndarray = None,
+                   level_rows_cap: int = None) -> jnp.ndarray:
     """Aux-branch ring 3-NN candidate plan, built ON DEVICE.
 
     [M0, 3] level-0 zyx cells (-1 = padding) -> [27, M0] int32 rows of the
@@ -685,7 +701,8 @@ def build_aux_plan(cell0_zyx: jnp.ndarray, level: int,
     """
     parent = cell0_zyx >> level                               # -1 stays -1
     plan = _window_plan(parent, level_shape, index_map=level_index_map,
-                        sorted_keys=level_sorted_keys)
+                        sorted_keys=level_sorted_keys,
+                        rows_cap=level_rows_cap)
     return jnp.where(plan.found, plan.idx, -1)
 
 
