@@ -181,14 +181,14 @@ def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray,
     # materialized [total+1, 3] window table + 2-D row gather — the
     # per-row width-independent gather form (PERF.md); a vmapped
     # dynamic_slice(3) lowers to a slow strided-slice gather on TPU.
-    # The table is int16 whenever the level's rows fit (cap <= 32767 —
-    # every standard config): the r5 device trace showed the L0 table's
-    # two 90M-row copy passes at ~7.2 ms/scan of pure HBM streaming, and
-    # halving the element width halves exactly that. (The int16 MAP was
-    # refuted in r4 — sub-word SCATTER is slow — but the table is built
-    # by wide streaming copies, where narrow elements only help.)
-    tdt = (jnp.int16 if rows_cap is not None and rows_cap <= 32767
-           else index_map.dtype)
+    # int16 table elements (SASSD_INT16_TABLES=1) were REFUTED on v5e:
+    # the r5 trace priced the L0 table's copy passes at ~7.2 ms/scan and
+    # predicted halving them, but the measured FULL graph went 36.5 ->
+    # 40.1 ms — sub-word GATHERS pay a per-row penalty (like the r4
+    # int16-MAP scatter refutation) and the map->int16 astype adds a
+    # 540 MB convert pass. int32 is the default.
+    tdt = (jnp.int16 if USE_INT16_TABLES and rows_cap is not None
+           and rows_cap <= 32767 else index_map.dtype)
     m16 = index_map.astype(tdt)
     pad = jnp.full((2,), -1, tdt)
     p = jnp.concatenate([pad[:1], m16, pad])           # [total + 3]
@@ -223,6 +223,10 @@ import os as _os
 USE_WINDOW_PLANS = _os.environ.get("SASSD_WINDOW_PLANS", "1") != "0"
 # window-table form of lookup_dense3 vs 3 direct map gathers (perf ablation)
 USE_WINDOW_TABLE = _os.environ.get("SASSD_WINDOW_TABLE", "1") != "0"
+# int16 vs int32 window-table elements — REFUTED on v5e (PERF.md round 5:
+# full serving graph 40.1 vs 36.5 ms; sub-word gathers + the astype pass
+# cost more than the halved streaming). Kept as an ablation flag.
+USE_INT16_TABLES = _os.environ.get("SASSD_INT16_TABLES", "0") == "1"
 
 
 def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
