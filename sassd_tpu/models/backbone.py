@@ -230,10 +230,11 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     sc = store_im2col and train
     fb = flat_batch
 
-    def index_map(keys, shape):
+    def index_map(keys, shape, srt=False):
         if host_plans is not None or not dense_index or sorted_plans:
             return None
-        return jax.vmap(lambda k: sp.build_index_map(k, shape))(keys)
+        return jax.vmap(lambda k: sp.build_index_map(
+            k, shape, keys_sorted=srt))(keys)
 
     def subm_plan(level, keys, shape, imap):
         if host_plans is not None:
@@ -247,7 +248,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
                                                          index_map=im)
                         )(keys, imap)
 
-    imap0 = index_map(keys0, shape0)
+    imap0 = index_map(keys0, shape0, srt=True)   # both voxelizers sort L0
     plan0 = subm_plan(0, keys0, shape0, imap0)
     x, new_state["conv0"] = _subm_block(
         params["conv0"], state["conv0"], feats0, plan0,
@@ -298,7 +299,7 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
             else:
                 plan = jax.vmap(lambda ik, ok, im: sp.build_stride_plan(
                     ik, ok, shape, index_map=im))(keys, out_keys, imap)
-                imap_out = index_map(out_keys, out_shape)
+                imap_out = index_map(out_keys, out_shape, srt=sorted_dev)
                 # device TRANSPOSE plan: only the backward consumes it, so
                 # inference graphs skip the build entirely
                 planT = None
@@ -392,9 +393,12 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
         # and masked BN sees exactly the active rows, so this is numerically
         # the sparse path (modulo reduction order).
         d3 = shape3[0]
-        xd = jax.vmap(lambda k, f: sp.to_dense(k, f, shape3))(keys3, x)
+        lv_sorted = host_plans is not None or sorted_dev
+        xd = jax.vmap(lambda k, f: sp.to_dense(
+            k, f, shape3, keys_sorted=lv_sorted))(keys3, x)
         occ3 = jax.vmap(lambda k: sp.to_dense(
-            k, jnp.ones((k.shape[0], 1), jnp.float32), shape3))(keys3)
+            k, jnp.ones((k.shape[0], 1), jnp.float32), shape3,
+            keys_sorted=lv_sorted))(keys3)
         occ3 = occ3[..., 0] > 0                                # [B,D,H,W]
         b = xd.shape[0]
         # [B,D,H,W,C] -> [B,H,W,D*C]

@@ -91,7 +91,8 @@ def main():
         outs = []
         keys, shape = keys0, shape0
         for lvl in range(3):
-            imap = jax.vmap(lambda k: sp.build_index_map(k, shape))(keys)
+            imap = jax.vmap(lambda k: sp.build_index_map(
+                k, shape, keys_sorted=True))(keys)
             plan = jax.vmap(lambda k, im: sp.build_subm_plan(
                 k, shape, index_map=im))(keys, imap)
             outs.append(plan.idx.sum() + plan.found.sum())
