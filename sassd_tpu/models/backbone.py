@@ -233,6 +233,16 @@ def vxnet_apply(params, state, keys0, feats0, *, sparse_shape, level_caps,
     def index_map(keys, shape, srt=False):
         if host_plans is not None or not dense_index or sorted_plans:
             return None
+        if srt and sp.USE_DIRECT_TABLES and sp.USE_WINDOW_PLANS:
+            # key-sorted levels: build the lookup_dense3 window TABLE
+            # directly (one patch scatter) — the [D*H*W] dense map is
+            # never materialized (sparse.build_window_table)
+            if keys.shape[0] == 1:
+                # B=1 (serving): un-vmapped scatters lower faster on v5e
+                # (PERF.md round 5, like the de-vmapped downsample)
+                return sp.WindowTable(
+                    sp.build_window_table(keys[0], shape).tab[None])
+            return jax.vmap(lambda k: sp.build_window_table(k, shape))(keys)
         return jax.vmap(lambda k: sp.build_index_map(
             k, shape, keys_sorted=srt))(keys)
 

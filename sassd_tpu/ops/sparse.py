@@ -157,8 +157,81 @@ def lookup_sorted3(sorted_keys: jnp.ndarray, start: jnp.ndarray):
     return rows, found
 
 
+class WindowTable(NamedTuple):
+    """Directly built window table (no dense index map materialized).
+
+    tab is FRONT-padded: tab[1 + s] = (map[s-1], map[s], map[s+1]) for
+    s in [0, total], where map is the dense cell->row map the table
+    replaces; tab has total + 5 rows (1 front pad + total + 1 real rows
+    + 3 junk rows absorbing the INVALID tail's scatter)."""
+    tab: jnp.ndarray
+
+
+def build_window_table(keys: jnp.ndarray,
+                       shape_zyx: Tuple[int, int, int]) -> WindowTable:
+    """Build the [total+1, 3] window table of lookup_dense3 DIRECTLY from
+    the level's SORTED unique keys — the dense index map is never
+    materialized.
+
+    The map+stack form costs a [total] memset + scatter for the map plus
+    ~3x total int32 of copy passes for the padded 3-shift stack (the
+    7.98 ms row of the round-5 serving trace at the 90M-cell L0 grid).
+    Sorted keys make each voxel able to compute its WHOLE [3, 3]
+    neighborhood patch of the table locally — map[c +/- 1] and
+    map[c +/- 2] are determined by comparing the 2 preceding / following
+    sorted keys — so the build collapses to one [total+5, 3] memset plus
+    three unique-index row scatters of cap [3]-rows. Overlapping rows
+    across the three scatters carry identical values (each entry is the
+    true map content), so scatter order is irrelevant.
+
+    Requires keys ascending-sorted, unique, INVALID-padded (both
+    voxelizers and both downsamplers guarantee it).
+    """
+    d, h, w = shape_zyx
+    total = d * h * w
+    cap = keys.shape[0]
+    ok = keys != INVALID_KEY
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    s1 = jnp.array([-2], keys.dtype)
+    prev_k = jnp.concatenate([s1, keys[:-1]])
+    prev2_k = jnp.concatenate([jnp.full((2,), -3, keys.dtype), keys[:-2]])
+    next_k = jnp.concatenate([keys[1:], jnp.array([INVALID_KEY], keys.dtype)])
+    next2_k = jnp.concatenate(
+        [keys[2:], jnp.full((2,), INVALID_KEY, keys.dtype)])
+    l1 = jnp.where(prev_k == keys - 1, rows - 1, -1)
+    l2 = jnp.where(prev_k == keys - 2, rows - 1,
+                   jnp.where(prev2_k == keys - 2, rows - 2, -1))
+    r1 = jnp.where(next_k == keys + 1, rows + 1, -1)
+    r2 = jnp.where(next_k == keys + 2, rows + 1,
+                   jnp.where(next2_k == keys + 2, rows + 2, -1))
+    # three ROW scatters (table rows c-1 / c / c+1 of each voxel at cell
+    # c): within each scatter the indices keys+dj are UNIQUE and sorted,
+    # which lowers to the fast vectorized scatter form — a single scatter
+    # of overlapping [3,3] patches (unique_indices=False) serializes on
+    # TPU (~200 ms at the L0 grid, measured round 5)
+    t = jnp.full((total + 5, 3), -1, jnp.int32)
+    # table row s lives at tab[s + 1] (front pad)
+    for dj, win in ((-1, jnp.stack([l2, l1, rows], -1)),
+                    (1, jnp.stack([rows, r1, r2], -1)),
+                    (0, jnp.stack([l1, rows, r1], -1))):
+        idx = jnp.where(ok, keys + (1 + dj), total + 2)
+        t = t.at[idx].set(win, mode="drop", indices_are_sorted=True,
+                          unique_indices=True)
+    return WindowTable(t)
+
+
+def lookup_table3(wt: WindowTable, start: jnp.ndarray):
+    """lookup_dense3 on a directly built WindowTable (same contract)."""
+    total = wt.tab.shape[0] - 5
+    s = jnp.clip(start + 2, 1, total + 1)
+    rows = wt.tab[s.reshape(-1)].reshape(start.shape + (3,))
+    return jnp.maximum(rows, 0), rows >= 0
+
+
 def lookup_dense3(index_map: jnp.ndarray, start: jnp.ndarray,
                   rows_cap: int = None):
+    if isinstance(index_map, WindowTable):
+        return lookup_table3(index_map, start)
     """Gather index_map[start + j] for j=0..2 as ONE slice-3 gather per row.
 
     XLA TPU gather cost is per-row and width-independent (PERF.md), and the
@@ -234,6 +307,10 @@ USE_WINDOW_TABLE = _os.environ.get("SASSD_WINDOW_TABLE", "1") != "0"
 # full serving graph 40.1 vs 36.5 ms; sub-word gathers + the astype pass
 # cost more than the halved streaming). Kept as an ablation flag.
 USE_INT16_TABLES = _os.environ.get("SASSD_INT16_TABLES", "0") == "1"
+# build window tables DIRECTLY from sorted keys (build_window_table) instead
+# of materializing the dense index map first — kills the [D*H*W] map
+# memset+scatter AND the 3-shift stack copies per level (perf ablation)
+USE_DIRECT_TABLES = _os.environ.get("SASSD_DIRECT_TABLES", "1") != "0"
 
 
 def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],

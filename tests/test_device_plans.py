@@ -261,3 +261,61 @@ def test_downsample_with_map_matches_sort_path():
         ref = sp.downsample_keys(keys, shape, 48, y_limit_out=7)
         got, _ = sp.downsample_keys_with_map(keys, shape, 48, y_limit_out=7)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_direct_window_table_matches_map_stack():
+    """build_window_table (one patch scatter from sorted keys, round 5) ==
+    the map+3-shift-stack table, and lookup_table3 == lookup_dense3 on
+    in-range AND out-of-range window starts."""
+    rng = np.random.default_rng(11)
+    shape = (4, 13, 17)
+    total = 4 * 13 * 17
+    for trial in range(6):
+        n = int(rng.integers(1, total - 1))
+        keys = random_keys(rng, shape, n, n + int(rng.integers(0, 5)))
+        m = sp.build_index_map(keys, shape, keys_sorted=True)
+        pad = jnp.full((2,), -1, jnp.int32)
+        p = jnp.concatenate([pad[:1], m, pad])
+        ref = jnp.stack([p[:-2], p[1:-1], p[2:]], axis=-1)   # [total+1, 3]
+        wt = sp.build_window_table(keys, shape)
+        np.testing.assert_array_equal(np.asarray(wt.tab[1:total + 2]),
+                                      np.asarray(ref))
+        starts = jnp.asarray(
+            rng.integers(-(13 * 17) - 5, total + 5, size=400), jnp.int32)
+        r0, f0 = sp.lookup_dense3(m, starts)
+        r1, f1 = sp.lookup_table3(wt, starts)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_plans_with_direct_tables_match_dense_maps():
+    """Every plan family (subm, stride, strideT, aux) resolved through a
+    WindowTable == the same plan resolved through the dense index map."""
+    rng = np.random.default_rng(12)
+    shape = (6, 10, 9)
+    keys = random_keys(rng, shape, 40, 48)
+    m = sp.build_index_map(keys, shape, keys_sorted=True)
+    wt = sp.build_window_table(keys, shape)
+    a = sp.build_subm_plan(keys, shape, index_map=m)
+    b = sp.build_subm_plan(keys, shape, index_map=wt)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_array_equal(np.asarray(a.idx * a.found),
+                                  np.asarray(b.idx * b.found))
+    out = sp.downsample_keys(keys, shape, 32)
+    a = sp.build_stride_plan(keys, out, shape, index_map=m)
+    b = sp.build_stride_plan(keys, out, shape, index_map=wt)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_array_equal(np.asarray(a.idx * a.found),
+                                  np.asarray(b.idx * b.found))
+    oshape = sp.out_shape_stride2(shape)
+    om = sp.build_index_map(out, oshape, keys_sorted=True)
+    owt = sp.build_window_table(out, oshape)
+    a = sp.build_stride_plan_T(keys, shape, om)
+    b = sp.build_stride_plan_T(keys, shape, owt)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_array_equal(np.asarray(a.idx * a.found),
+                                  np.asarray(b.idx * b.found))
+    cell0 = sp.keys_to_coords(keys, shape)
+    a = sp.build_aux_plan(cell0, 1, om, oshape, level_rows_cap=32)
+    b = sp.build_aux_plan(cell0, 1, owt, oshape)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
