@@ -309,8 +309,13 @@ USE_WINDOW_TABLE = _os.environ.get("SASSD_WINDOW_TABLE", "1") != "0"
 USE_INT16_TABLES = _os.environ.get("SASSD_INT16_TABLES", "0") == "1"
 # build window tables DIRECTLY from sorted keys (build_window_table) instead
 # of materializing the dense index map first — kills the [D*H*W] map
-# memset+scatter AND the 3-shift stack copies per level (perf ablation)
-USE_DIRECT_TABLES = _os.environ.get("SASSD_DIRECT_TABLES", "1") != "0"
+# memset+scatter AND the 3-shift stack copies per level. REFUTED on v5e
+# (PERF.md round 5): the full serving graph with direct tables never
+# finished XLA compile + first run within 10 min (two attempts), vs 199 s
+# compile / 35.0 ms steady for the map+stack form — the three [3]-wide
+# row scatters at the 90M-cell L0 grid blow up compilation. Correctness
+# is covered by tests/test_device_plans.py; kept as an ablation flag.
+USE_DIRECT_TABLES = _os.environ.get("SASSD_DIRECT_TABLES", "0") == "1"
 
 
 def _window_plan(base_coords: jnp.ndarray, shape_zyx: Tuple[int, int, int],
